@@ -1,0 +1,46 @@
+"""Spatial helpers: KNN distances for scale init.
+
+The reference initializes log-scales from the mean squared distance to the 3
+nearest neighbors, computed by the `simple-knn` CUDA submodule
+(`scene/gaussian_model.py:159-160`, submodule declared `.gitmodules:1-3`).
+Here: a chunked brute-force top-k in jnp — distance blocks are (chunk, N)
+matmuls, which XLA maps straight onto the MXU. Init-time only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mean_knn_sq_dist(points, k: int = 3, chunk: int = 2048):
+    """Mean squared distance from each point to its k nearest neighbors.
+
+    Equivalent to `simple_knn._C.distCUDA2` as used at init
+    (`scene/gaussian_model.py:159`).
+
+    Args:
+      points: (N, 3) float32.
+      k: neighbor count (3 in the reference).
+      chunk: rows per distance block.
+
+    Returns:
+      (N,) mean of squared distances to the k nearest neighbors (self excluded).
+    """
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts_pad = jnp.pad(points, ((0, pad), (0, 0)))
+    sq_norms = jnp.sum(points * points, axis=-1)  # (N,)
+
+    def one_chunk(chunk_pts):
+        # d2[i, j] = |ci|^2 - 2 ci.pj + |pj|^2
+        cross = chunk_pts @ points.T  # (chunk, N) — MXU
+        d2 = jnp.sum(chunk_pts * chunk_pts, axis=-1)[:, None] - 2.0 * cross + sq_norms[None, :]
+        # self-distance is ~0 and lands in the top-k; take k+1 and drop it.
+        neg_top, _ = jax.lax.top_k(-d2, k + 1)
+        d_sorted = -neg_top  # ascending: [self≈0, nn1, ..., nnk]
+        return jnp.mean(jnp.maximum(d_sorted[:, 1:], 0.0), axis=-1)
+
+    chunks = pts_pad.reshape(-1, chunk, 3)
+    out = jax.lax.map(one_chunk, chunks).reshape(-1)
+    return out[:n]

@@ -1,0 +1,233 @@
+"""Per-Gaussian screen-space preprocessing (projection, EWA cov2D, SH color).
+
+TPU-native re-design of the reference preprocess kernel
+(`cuda_rasterizer/forward.cu:155-272`): instead of one CUDA thread per
+Gaussian, everything is a batched (N, ...) jnp computation — 3x3 covariance
+products become batched matmuls and all the scalar branches become masks, so
+XLA fuses the whole stage into a few VPU/MXU loops. Semantics are kept
+bit-faithful where they matter for parity:
+
+- near cull at view z <= 0.2 (`auxiliary.h:151-176`)
+- homogeneous divide guard `1/(w + 1e-7)` (`forward.cu:199`)
+- EWA with focal Jacobian and 1.3*tan_fov frustum clamping (`forward.cu:74-109`)
+- +0.3 pixel dilation and the antialiasing opacity rescale
+  sqrt(det/det_dilated) clamped at 25e-6 (`forward.cu:218-226`)
+- radius = ceil(3*sqrt(max eigenvalue)), eigenvalue floor 0.1 (`forward.cu:240-243`)
+- ndc2Pix(v, S) = ((v+1)*S - 1)/2 (`auxiliary.h:40-43`)
+- tile rect via truncating division by the 16px tile (`auxiliary.h:45-55`)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# The per-gaussian transforms are tiny (N,3)@(3,3) contractions — not where
+# the FLOPs are — so they run at full fp32 precision; on TPU the default would
+# route them through the MXU in bf16 and cost ~1e-2 relative error in pixel
+# positions.
+HIGHEST = jax.lax.Precision.HIGHEST
+
+from gsplat_tpu.core import activations as act
+from gsplat_tpu.core import sh as sh_lib
+from gsplat_tpu.core.types import Camera, GaussianParams, RenderSettings, pytree_dataclass
+
+
+@pytree_dataclass
+class ScreenGaussians:
+    """Per-Gaussian screen-space quantities ("geometry buffer").
+
+    The packed analogue of the reference GeometryState arena
+    (`rasterizer_impl.cu:155-170`): means2D, conic+opacity, rgb, depths,
+    radii, tile rects.
+    """
+
+    mean2d: jax.Array  # (N, 2) pixel-space center
+    conic: jax.Array  # (N, 3) inverse 2D covariance [a, b, c]
+    opacity: jax.Array  # (N,) effective opacity (AA-rescaled)
+    rgb: jax.Array  # (N, 3) SH-evaluated color
+    depth: jax.Array  # (N,) view-space z
+    radius: jax.Array  # (N,) int32 screen radius in pixels
+    rect_min: jax.Array  # (N, 2) int32 (tile_x, tile_y) inclusive
+    rect_max: jax.Array  # (N, 2) int32 (tile_x, tile_y) exclusive
+    tiles_touched: jax.Array  # (N,) int32
+    mask: jax.Array  # (N,) bool — survives culling
+
+
+def ndc2pix(v, size):
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def compute_cov2d(p_view, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, world_view):
+    """EWA projection of the 3D covariance to a screen-space 2x2 (as 3-vector).
+
+    Math-convention equivalent of `computeCov2D` (`forward.cu:74-109`):
+    cov2D = J W Sigma W^T J^T with W the world->cam rotation and J the
+    perspective Jacobian evaluated at the frustum-clamped view point. `p_view`
+    must have a strictly positive z (culled rows should be sanitized by the
+    caller *before* this runs, so no NaNs enter the autodiff graph).
+    """
+    W = world_view[:3, :3]  # (3, 3)
+    t = p_view
+
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tz = t[:, 2]
+    txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
+    tytz = jnp.clip(t[:, 1] / tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # J rows: d(pix)/d(view); only the top 2x3 block is nonzero.
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+    zeros = jnp.zeros_like(j00)
+    J = jnp.stack(
+        [
+            jnp.stack([j00, zeros, j02], axis=-1),
+            jnp.stack([zeros, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+
+    c0, c1, c2, c3, c4, c5 = (cov3d[:, i] for i in range(6))
+    Sigma = jnp.stack(
+        [
+            jnp.stack([c0, c1, c2], axis=-1),
+            jnp.stack([c1, c3, c4], axis=-1),
+            jnp.stack([c2, c4, c5], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 3, 3)
+
+    JW = jnp.einsum('nij,jk->nik', J, W, precision=HIGHEST)  # (N, 2, 3)
+    cov = jnp.einsum('nij,njk,nlk->nil', JW, Sigma, JW, precision=HIGHEST)  # (N, 2, 2)
+    return jnp.stack([cov[:, 0, 0], cov[:, 0, 1], cov[:, 1, 1]], axis=-1)
+
+
+def preprocess(
+    params: GaussianParams,
+    alive,
+    camera: Camera,
+    settings: RenderSettings,
+    grid_x: int,
+    grid_y: int,
+    mean2d_offset=None,
+) -> ScreenGaussians:
+    """Project all Gaussians to screen space (fully batched, jit-friendly).
+
+    Args:
+      params: model parameters (pre-activation).
+      alive: (N,) bool mask of live rows (static-capacity model).
+      camera: view.
+      settings: static render settings (tile size, AA flag, active SH degree).
+      grid_x, grid_y: tile-grid dimensions (static).
+      mean2d_offset: optional (N, 2) zeros added to the pixel-space center —
+        the JAX analogue of the reference's `screenspace_points` grad-capture
+        tensor (`gaussian_renderer/__init__.py:26-30`).
+    """
+    xyz = params.xyz
+    n = xyz.shape[0]
+    tile = settings.tile
+
+    # --- activations (differentiable, same as scene/gaussian_model.py:32-47)
+    scales = act.scaling_activation(params.scaling)
+    quats = act.normalize_rotation(params.rotation)
+    opacities = act.opacity_activation(params.opacity)[:, 0]
+
+    # --- view transform + near cull (auxiliary.h:151-176)
+    p_view = jnp.einsum('nj,ij->ni', xyz, camera.world_view[:3, :3], precision=HIGHEST) + camera.world_view[:3, 3]
+    depth = p_view[:, 2]
+    valid = alive & (depth > 0.2)
+
+    # --- projection (forward.cu:197-200)
+    p_hom = jnp.einsum('nj,ij->ni', xyz, camera.full_proj[:3, :3], precision=HIGHEST) + camera.full_proj[:3, 3]
+    w_hom = jnp.einsum('nj,j->n', xyz, camera.full_proj[3, :3], precision=HIGHEST) + camera.full_proj[3, 3]
+    # w_hom equals view z here (P[3,2]=1); >= 0.2 for surviving rows. Sanitize
+    # culled rows so 1/(w+1e-7) can't produce inf/NaN in fwd or bwd.
+    w_safe = jnp.where(valid, w_hom, 1.0)
+    p_w = 1.0 / (w_safe + 1e-7)
+    p_proj = p_hom * p_w[:, None]
+
+    # --- 3D covariance (forward.cu:114-151)
+    cov3d = act.covariance_from_scaling_rotation(scales, settings.scale_modifier, quats)
+
+    # --- EWA 2D covariance + dilation + antialiasing (forward.cu:216-234)
+    # Sanitize z for culled rows *before* the 1/tz math: where() alone would
+    # still leak NaNs into the cotangents.
+    safe_depth = jnp.where(valid, depth, 1.0)
+    p_view_safe = jnp.concatenate([p_view[:, :2], safe_depth[:, None]], axis=-1)
+    focal_x = camera.width / (2.0 * camera.tan_fovx)
+    focal_y = camera.height / (2.0 * camera.tan_fovy)
+    cov = compute_cov2d(
+        p_view_safe, focal_x, focal_y, camera.tan_fovx, camera.tan_fovy, cov3d,
+        camera.world_view,
+    )
+    cov = jnp.where(valid[:, None], cov, jnp.array([1.0, 0.0, 1.0]))
+
+    h_var = 0.3
+    det_cov = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
+    covd = cov.at[:, 0].add(h_var).at[:, 2].add(h_var)
+    det_covd = covd[:, 0] * covd[:, 2] - covd[:, 1] * covd[:, 1]
+    if settings.antialiasing:
+        h_conv_scaling = jnp.sqrt(jnp.maximum(2.5e-5, det_cov / det_covd))
+    else:
+        h_conv_scaling = jnp.ones_like(det_cov)
+
+    det = det_covd
+    valid = valid & (det != 0.0)
+    det_inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    conic = jnp.stack(
+        [covd[:, 2] * det_inv, -covd[:, 1] * det_inv, covd[:, 0] * det_inv], axis=-1
+    )
+
+    # --- screen extent / tile rect (forward.cu:240-248)
+    mid = 0.5 * (covd[:, 0] + covd[:, 2])
+    lam_term = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + lam_term
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-20)))
+    radius = radius_f.astype(jnp.int32)
+
+    point_image = jnp.stack(
+        [ndc2pix(p_proj[:, 0], camera.width), ndc2pix(p_proj[:, 1], camera.height)],
+        axis=-1,
+    )
+    if mean2d_offset is not None:
+        point_image = point_image + mean2d_offset
+
+    # C-style truncating casts, then clamp — matches getRect (auxiliary.h:45-55)
+    rmin_x = jnp.clip(((point_image[:, 0] - radius_f) / tile).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((point_image[:, 1] - radius_f) / tile).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(
+        ((point_image[:, 0] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_x
+    )
+    rmax_y = jnp.clip(
+        ((point_image[:, 1] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_y
+    )
+    tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    valid = valid & (tiles_touched > 0)
+
+    # --- SH -> RGB (forward.cu:20-71)
+    features = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+    dirs = xyz - camera.camera_center
+    rgb, _clamped = sh_lib.eval_sh_color(settings.sh_degree, features, dirs)
+
+    tiles_touched = jnp.where(valid, tiles_touched, 0)
+    radius = jnp.where(valid, radius, 0)
+
+    return ScreenGaussians(
+        mean2d=point_image,
+        conic=conic,
+        opacity=opacities * h_conv_scaling,
+        rgb=rgb,
+        depth=depth,
+        radius=radius,
+        rect_min=jnp.stack([rmin_x, rmin_y], axis=-1),
+        rect_max=jnp.stack([rmax_x, rmax_y], axis=-1),
+        tiles_touched=tiles_touched,
+        mask=valid,
+    )

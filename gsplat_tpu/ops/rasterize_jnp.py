@@ -1,0 +1,163 @@
+"""Reference front-to-back alpha blend in pure jnp (differentiable oracle).
+
+This is the jnp re-formulation of the reference blend kernel
+(`cuda_rasterizer/forward.cu:277-400`): one CUDA block per 16x16 tile with a
+sequential per-pixel walk becomes, per tile, a (256 px, chunk) alpha matrix
+whose transmittance recurrence is a cumprod along the gaussian axis, and whose
+color accumulation is a (256 x chunk) @ (chunk x 3) matmul — i.e. the blend
+maps onto the VPU (alpha) + MXU (color). JAX autodiff supplies the backward
+pass, replacing the hand-derived `backward.cu:453-638`; the Pallas kernels in
+`rasterize_pallas.py` are the production path and are tested against this.
+
+Blend semantics kept exactly (forward.cu:345-385):
+- skip if power > 0
+- alpha = min(0.99, opacity * exp(power)); skip if alpha < 1/255
+- stop the pixel once T * (1 - alpha) < 1e-4 (the would-be-crossing Gaussian
+  is NOT blended) — since T is monotone decreasing this is the prefix
+  condition cumprod(1-alpha) >= 1e-4
+- out = accumulated color + T_final * background (forward.cu:390-398)
+- expected inverse depth sum(w / z) (forward.cu:377-398)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.core.types import pytree_dataclass
+from gsplat_tpu.ops.binning import TileBins
+from gsplat_tpu.ops.projection import ScreenGaussians
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+@pytree_dataclass
+class BlendOutput:
+    color: jax.Array  # (T, 256, 3) per-tile pixel colors (bg composited)
+    invdepth: jax.Array  # (T, 256)
+    final_t: jax.Array  # (T, 256) remaining transmittance
+    n_contrib: jax.Array  # (T, 256) int32 — last contributing instance (1-based)
+    overflow: jax.Array  # () int32 — per-tile list truncations (jnp path only)
+
+
+def tile_pixel_coords(grid_x: int, grid_y: int, tile: int):
+    """Pixel-center coordinates for each tile, (T, tile*tile, 2) float32."""
+    t_idx = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    tx = (t_idx % grid_x) * tile
+    ty = (t_idx // grid_x) * tile
+    i = jnp.arange(tile * tile, dtype=jnp.int32)
+    px = tx[:, None] + (i % tile)[None, :]
+    py = ty[:, None] + (i // tile)[None, :]
+    return jnp.stack([px, py], axis=-1).astype(jnp.float32)
+
+
+def blend_tiles_jnp(
+    screen: ScreenGaussians,
+    bins: TileBins,
+    grid_x: int,
+    grid_y: int,
+    tile: int,
+    max_per_tile: int,
+    chunk: int,
+) -> BlendOutput:
+    """Blend all tiles; fully batched over tiles, scanned over gaussian chunks."""
+    num_tiles = grid_x * grid_y
+    ppt = tile * tile
+    max_per_tile = max(chunk, (max_per_tile + chunk - 1) // chunk * chunk)
+
+    pix = tile_pixel_coords(grid_x, grid_y, tile)  # (T, ppt, 2)
+
+    lane = jnp.arange(max_per_tile, dtype=jnp.int32)
+    idx = bins.tile_start[:, None] + lane[None, :]  # (T, M)
+    in_range = idx < bins.tile_end[:, None]
+    idx = jnp.minimum(idx, bins.gauss_id.shape[0] - 1)
+    per_tile_overflow = jnp.maximum(
+        bins.tile_end - bins.tile_start - max_per_tile, 0
+    ).sum()
+
+    # Pre-gather safe per-gaussian features (sanitized so masked lanes can't
+    # inject inf/NaN through 0*inf):
+    inv_depth = 1.0 / jnp.maximum(screen.depth, 0.2)
+
+    n_chunks = max_per_tile // chunk
+    idx_chunks = jnp.moveaxis(idx.reshape(num_tiles, n_chunks, chunk), 1, 0)
+    msk_chunks = jnp.moveaxis(in_range.reshape(num_tiles, n_chunks, chunk), 1, 0)
+
+    def step(carry, xs):
+        t_cur, color, invd, n_contrib, base = carry
+        ids, m = xs  # (T, C), (T, C)
+        g = bins.gauss_id[ids]  # (T, C) gaussian indices
+        mean2d = screen.mean2d[g]  # (T, C, 2)
+        conic = screen.conic[g]  # (T, C, 3)
+        opac = screen.opacity[g]  # (T, C)
+        rgb = screen.rgb[g]  # (T, C, 3)
+        invz = inv_depth[g]  # (T, C)
+
+        d = mean2d[:, None, :, :] - pix[:, :, None, :]  # (T, ppt, C, 2)
+        dx, dy = d[..., 0], d[..., 1]
+        a, b, c = conic[..., 0], conic[..., 1], conic[..., 2]
+        power = (
+            -0.5 * (a[:, None, :] * dx * dx + c[:, None, :] * dy * dy)
+            - b[:, None, :] * dx * dy
+        )  # (T, ppt, C)
+        alpha = jnp.minimum(ALPHA_MAX, opac[:, None, :] * jnp.exp(power))
+        keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & m[:, None, :]
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        # Transmittance recurrence as a cumprod; the 1e-4 stop is a prefix
+        # property because T is monotone non-increasing.
+        t_incl = t_cur[..., None] * jnp.cumprod(1.0 - alpha, axis=-1)
+        blended = jax.lax.stop_gradient(t_incl >= T_EPS)
+        alpha_eff = jnp.where(blended, alpha, 0.0)
+        one_m = 1.0 - alpha_eff
+        t_excl = t_cur[..., None] * jnp.concatenate(
+            [jnp.ones_like(one_m[..., :1]), jnp.cumprod(one_m[..., :-1], axis=-1)],
+            axis=-1,
+        )
+        w = alpha_eff * t_excl  # (T, ppt, C)
+
+        color = color + jnp.einsum(
+            "tpc,tcx->tpx", w, rgb, preferred_element_type=jnp.float32
+        )
+        invd = invd + jnp.sum(w * invz[:, None, :], axis=-1)
+        t_cur = t_excl[..., -1] * one_m[..., -1]
+
+        # n_contrib: 1-based index of the last blended instance in this pixel's
+        # range (forward.cu:347-384 `last_contributor`). Skipped-but-walked
+        # instances still advance the counter.
+        any_blended = jnp.any(blended & (alpha > 0.0), axis=-1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
+        last_in_chunk = jnp.max(
+            jnp.where(blended & (alpha > 0.0), lane_i + 1, 0), axis=-1
+        )
+        n_contrib = jnp.where(any_blended, base + last_in_chunk, n_contrib)
+        return (t_cur, color, invd, n_contrib, base + chunk), None
+
+    init = (
+        jnp.ones((num_tiles, ppt), jnp.float32),
+        jnp.zeros((num_tiles, ppt, 3), jnp.float32),
+        jnp.zeros((num_tiles, ppt), jnp.float32),
+        jnp.zeros((num_tiles, ppt), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    (t_final, color, invd, n_contrib, _), _ = jax.lax.scan(
+        step, init, (idx_chunks, msk_chunks)
+    )
+
+    return BlendOutput(
+        color=color,
+        invdepth=invd,
+        final_t=t_final,
+        n_contrib=n_contrib,
+        overflow=per_tile_overflow.astype(jnp.int32),
+    )
+
+
+def tiles_to_image(tiled, grid_x: int, grid_y: int, tile: int, width: int, height: int):
+    """(T, tile*tile, C?) -> (H, W, C?) crop."""
+    chans = tiled.shape[2:] if tiled.ndim > 2 else ()
+    img = tiled.reshape((grid_y, grid_x, tile, tile) + chans)
+    img = jnp.moveaxis(img, 2, 1).reshape((grid_y * tile, grid_x * tile) + chans)
+    return img[:height, :width]
