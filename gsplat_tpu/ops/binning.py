@@ -83,3 +83,45 @@ def bin_gaussians(screen: ScreenGaussians, grid_x: int, grid_y: int, capacity: i
         num_instances=total,
         overflow=jnp.maximum(total - capacity, 0),
     )
+
+
+@pytree_dataclass
+class AlignedBins:
+    """Per-tile instance segments padded to 128-aligned starts.
+
+    The Pallas blend kernel streams each tile's instances with HBM->VMEM DMA,
+    and Mosaic requires lane offsets divisible by the 128 tiling — the TPU
+    analogue of the CUDA kernel's fixed BLOCK_SIZE=256 shared-memory batches
+    (`forward.cu:313-342`). Segment tails are padding; `count` holds the true
+    per-tile instance count and the kernel masks the tail lanes.
+    """
+
+    gauss_id: jax.Array  # (Kp,) int32 gaussian index per padded slot (0 in gaps)
+    pad_start: jax.Array  # (T,) int32 128-aligned segment starts
+    count: jax.Array  # (T,) int32 true instances per tile
+    valid: jax.Array  # (Kp,) bool — slot holds a real instance
+
+
+def align_tile_segments(bins: TileBins, num_tiles: int, chunk: int = 128) -> AlignedBins:
+    """Re-lay the sorted instance list into 128-aligned per-tile segments.
+
+    Scatter-free: each padded slot locates its (tile, rank) with one
+    searchsorted over the padded prefix sums, then gathers from the sorted
+    list. Capacity of the padded buffer is static:
+    instance_capacity + chunk * num_tiles (worst-case tail padding).
+    """
+    k = bins.gauss_id.shape[0]
+    count = bins.tile_end - bins.tile_start  # (T,)
+    padded = (count + chunk - 1) // chunk * chunk
+    poff_incl = jnp.cumsum(padded)  # inclusive
+    pad_start = poff_incl - padded  # exclusive prefix
+
+    kp = k + chunk * num_tiles
+    slots = jnp.arange(kp, dtype=jnp.int32)
+    t_of = jnp.searchsorted(poff_incl, slots, side="right").astype(jnp.int32)
+    t_of = jnp.minimum(t_of, num_tiles - 1)
+    r = slots - pad_start[t_of]
+    valid = (r < count[t_of]) & (slots < poff_incl[num_tiles - 1])
+    src = jnp.minimum(bins.tile_start[t_of] + r, k - 1)
+    gid = jnp.where(valid, bins.gauss_id[src], 0)
+    return AlignedBins(gauss_id=gid, pad_start=pad_start, count=count, valid=valid)

@@ -86,7 +86,13 @@ def blend_tiles_jnp(
     msk_chunks = jnp.moveaxis(in_range.reshape(num_tiles, n_chunks, chunk), 1, 0)
 
     def step(carry, xs):
-        t_cur, color, invd, n_contrib, base = carry
+        # Two transmittance carries (forward.cu:345-385 semantics):
+        #   t_raw — product of ALL walked (1-alpha); the 1e-4 stop test
+        #     "t_raw >= eps" identifies the blended prefix exactly, because the
+        #     stop is permanent and raw == effective before the crossing point.
+        #   t_eff — product over *blended* (1-alpha) only; this is the real
+        #     remaining transmittance (final_T for background compositing).
+        t_raw, t_eff, color, invd, n_contrib, base = carry
         ids, m = xs  # (T, C), (T, C)
         g = bins.gauss_id[ids]  # (T, C) gaussian indices
         mean2d = screen.mean2d[g]  # (T, C, 2)
@@ -102,27 +108,36 @@ def blend_tiles_jnp(
             -0.5 * (a[:, None, :] * dx * dx + c[:, None, :] * dy * dy)
             - b[:, None, :] * dx * dy
         )  # (T, ppt, C)
-        alpha = jnp.minimum(ALPHA_MAX, opac[:, None, :] * jnp.exp(power))
+        alpha_raw = opac[:, None, :] * jnp.exp(power)
+        # forward: min(alpha, 0.99); backward: straight-through — the reference
+        # backward ignores the clamp (`backward.cu:569-570,625-635` uses dG and
+        # dopacity unconditionally), so jnp.minimum's zero-grad would diverge.
+        alpha = alpha_raw + jax.lax.stop_gradient(
+            jnp.minimum(alpha_raw, ALPHA_MAX) - alpha_raw
+        )
         keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & m[:, None, :]
         alpha = jnp.where(keep, alpha, 0.0)
 
-        # Transmittance recurrence as a cumprod; the 1e-4 stop is a prefix
-        # property because T is monotone non-increasing.
-        t_incl = t_cur[..., None] * jnp.cumprod(1.0 - alpha, axis=-1)
-        blended = jax.lax.stop_gradient(t_incl >= T_EPS)
+        t_incl_raw = t_raw[..., None] * jnp.cumprod(1.0 - alpha, axis=-1)
+        blended = jax.lax.stop_gradient(t_incl_raw >= T_EPS)
         alpha_eff = jnp.where(blended, alpha, 0.0)
-        one_m = 1.0 - alpha_eff
-        t_excl = t_cur[..., None] * jnp.concatenate(
-            [jnp.ones_like(one_m[..., :1]), jnp.cumprod(one_m[..., :-1], axis=-1)],
+        t_excl_raw = t_raw[..., None] * jnp.concatenate(
+            [
+                jnp.ones_like(alpha[..., :1]),
+                jnp.cumprod(1.0 - alpha[..., :-1], axis=-1),
+            ],
             axis=-1,
         )
-        w = alpha_eff * t_excl  # (T, ppt, C)
+        # For blended lanes raw == effective transmittance (prefix property),
+        # so the raw exclusive product is the correct blend weight.
+        w = alpha_eff * t_excl_raw  # (T, ppt, C)
 
         color = color + jnp.einsum(
             "tpc,tcx->tpx", w, rgb, preferred_element_type=jnp.float32
         )
         invd = invd + jnp.sum(w * invz[:, None, :], axis=-1)
-        t_cur = t_excl[..., -1] * one_m[..., -1]
+        t_raw = t_incl_raw[..., -1]
+        t_eff = t_eff * jnp.prod(1.0 - alpha_eff, axis=-1)
 
         # n_contrib: 1-based index of the last blended instance in this pixel's
         # range (forward.cu:347-384 `last_contributor`). Skipped-but-walked
@@ -133,16 +148,17 @@ def blend_tiles_jnp(
             jnp.where(blended & (alpha > 0.0), lane_i + 1, 0), axis=-1
         )
         n_contrib = jnp.where(any_blended, base + last_in_chunk, n_contrib)
-        return (t_cur, color, invd, n_contrib, base + chunk), None
+        return (t_raw, t_eff, color, invd, n_contrib, base + chunk), None
 
     init = (
+        jnp.ones((num_tiles, ppt), jnp.float32),
         jnp.ones((num_tiles, ppt), jnp.float32),
         jnp.zeros((num_tiles, ppt, 3), jnp.float32),
         jnp.zeros((num_tiles, ppt), jnp.float32),
         jnp.zeros((num_tiles, ppt), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    (t_final, color, invd, n_contrib, _), _ = jax.lax.scan(
+    (_, t_final, color, invd, n_contrib, _), _ = jax.lax.scan(
         step, init, (idx_chunks, msk_chunks)
     )
 

@@ -1,0 +1,243 @@
+"""Host-side training driver (the `train.py:43-190` analogue).
+
+The device work is one jitted step (`gsplat_tpu/train/step.py`); this loop
+supplies what must stay on the host: random camera sampling without
+replacement, LR/weight schedules, the SH-degree ramp (a static setting — at
+most 3 retraces), densify/opacity-reset cadence, eval/save/checkpoint hooks,
+and progress logging.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+from gsplat_tpu.core.types import make_render_settings
+from gsplat_tpu.data.scene import Scene
+from gsplat_tpu.model import init_from_pcd, round_up
+from gsplat_tpu.render import render
+from gsplat_tpu.train import losses
+from gsplat_tpu.train.step import (
+    init_train_state,
+    make_densify_step,
+    make_train_step,
+    opacity_reset_step,
+)
+from gsplat_tpu.utils.general import expon_lr_func
+
+
+def _device_batch(cam):
+    """Ship one LoadedCamera's pixel data to device (zeros where absent)."""
+    h, w = cam.image.shape[:2]
+    gt = jnp.asarray(cam.image)
+    mask = jnp.asarray(cam.alpha_mask)
+    if cam.invdepth is not None:
+        invd = jnp.asarray(cam.invdepth)
+        dmask = jnp.asarray(cam.depth_mask[..., 0])
+    else:
+        invd = jnp.zeros((h, w), jnp.float32)
+        dmask = jnp.zeros((h, w), jnp.float32)
+    return gt, mask, invd, dmask
+
+
+def save_checkpoint(path, state, iteration):
+    host_state = jax.tree.map(np.asarray, state)
+    with open(path, "wb") as f:
+        pickle.dump({"state": host_state, "iteration": iteration}, f)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return jax.tree.map(jnp.asarray, blob["state"]), blob["iteration"]
+
+
+def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=None):
+    """L1/PSNR over held-out views (`train.py:214-252` training_report)."""
+    if max_views:
+        cameras = cameras[:max_views]
+    if not cameras:
+        return None
+    l1s, psnrs = [], []
+    for cam in cameras:
+        out = render(cam.camera, state.params, state.alive, settings, bg)
+        img = jnp.clip(out["render"], 0.0, 1.0)
+        gt = jnp.asarray(cam.image)
+        l1s.append(float(losses.l1_loss(img, gt)))
+        psnrs.append(float(losses.psnr(img, gt)))
+    return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+
+
+def train(
+    model_cfg: ModelConfig,
+    opt: OptimizationConfig,
+    pipe: PipelineConfig,
+    testing_iterations=(7000, 30000),
+    saving_iterations=(7000, 30000),
+    checkpoint_iterations=(),
+    start_checkpoint: str | None = None,
+    quiet: bool = False,
+    log_every: int = 10,
+    on_iteration=None,
+):
+    """Run the full optimization; returns (state, scene, results dict)."""
+    scene = Scene(
+        model_cfg.source_path,
+        model_path=model_cfg.model_path or None,
+        images=model_cfg.images,
+        depths=model_cfg.depths,
+        resolution=model_cfg.resolution,
+        white_background=model_cfg.white_background,
+        eval=model_cfg.eval,
+        train_test_exp=model_cfg.train_test_exp,
+    )
+    train_cams = scene.get_train_cameras()
+    capacity = pipe.capacity or None
+    params, alive = init_from_pcd(
+        scene.info.points, scene.info.colors,
+        max_sh_degree=model_cfg.sh_degree, capacity=capacity,
+    )
+    state = init_train_state(params, alive, num_images=len(train_cams))
+    first_iter = 0
+    if start_checkpoint:
+        state, first_iter = load_checkpoint(start_checkpoint)
+        print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
+
+    extent = float(scene.cameras_extent)
+    xyz_sched = expon_lr_func(
+        opt.position_lr_init * extent, opt.position_lr_final * extent,
+        lr_delay_mult=opt.position_lr_delay_mult, max_steps=opt.position_lr_max_steps,
+    )
+    exp_sched = expon_lr_func(
+        opt.exposure_lr_init, opt.exposure_lr_final,
+        lr_delay_steps=opt.exposure_lr_delay_steps,
+        lr_delay_mult=opt.exposure_lr_delay_mult, max_steps=opt.iterations,
+    )
+    depth_sched = expon_lr_func(
+        opt.depth_l1_weight_init, opt.depth_l1_weight_final, max_steps=opt.iterations
+    )
+
+    bg_color = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+    use_exposure = model_cfg.train_test_exp
+
+    def settings_for(active_sh):
+        return make_render_settings(
+            sh_degree=active_sh,
+            tile=16,
+            instance_capacity=pipe.instance_capacity,
+            max_per_tile=pipe.max_per_tile,
+            antialiasing=pipe.antialiasing,
+            backend=pipe.backend,
+        )
+
+    step_cache = {}
+
+    def step_fn(active_sh):
+        if active_sh not in step_cache:
+            step_cache[active_sh] = make_train_step(
+                opt, settings_for(active_sh), use_exposure=use_exposure
+            )
+        return step_cache[active_sh]
+
+    densify_step = make_densify_step(opt)
+
+    rng = random.Random(0)
+    np_rng = np.random.default_rng(0)
+    viewpoint_stack = []
+    ema_loss = 0.0
+    ema_depth = 0.0
+    results = {"test": {}}
+    active_sh = 0
+    t0 = time.time()
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        # SH degree ramp every 1000 iters (`train.py:93-95`)
+        if iteration % 1000 == 0 and active_sh < model_cfg.sh_degree:
+            active_sh += 1
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(range(len(train_cams)))
+        vind = viewpoint_stack.pop(rng.randrange(len(viewpoint_stack)))
+        cam = train_cams[vind]
+
+        gt, mask, invd, dmask = _device_batch(cam)
+        bg = (
+            jnp.asarray(np_rng.random(3), jnp.float32)
+            if opt.random_background
+            else bg_color
+        )
+        depth_w = depth_sched(iteration) if cam.camera.depth_reliable else 0.0
+
+        state, metrics = step_fn(active_sh)(
+            state, cam.camera, gt, mask, invd, dmask, bg,
+            jnp.float32(xyz_sched(iteration)), jnp.float32(exp_sched(iteration)),
+            jnp.float32(depth_w), jnp.int32(cam.uid),
+        )
+
+        # Densification cadence (`train.py:163-174`)
+        if iteration < opt.densify_until_iter:
+            if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
+                size_threshold = 20 if iteration > opt.opacity_reset_interval else 0
+                state, dinfo = densify_step(state, jnp.float32(extent), size_threshold)
+                if not quiet and iteration % 1000 == 0:
+                    print(
+                        f"[densify {iteration}] alive={int(dinfo['n_alive'])} "
+                        f"clone={int(dinfo['n_cloned'])} split={int(dinfo['n_split'])} "
+                        f"prune={int(dinfo['n_pruned'])} dropped={int(dinfo['n_dropped'])}"
+                    )
+            if iteration % opt.opacity_reset_interval == 0 or (
+                model_cfg.white_background and iteration == opt.densify_from_iter
+            ):
+                state = opacity_reset_step(state)
+
+        loss = float(metrics["loss"])
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+        ema_depth = 0.4 * float(metrics["depth_l1"]) + 0.6 * ema_depth
+        if not quiet and iteration % max(log_every, 1) == 0:
+            n_alive = int(state.alive.sum())
+            print(
+                f"it {iteration:6d}  loss {ema_loss:.5f}  depth {ema_depth:.5f}  "
+                f"alive {n_alive}  vis {int(metrics['n_visible'])}  "
+                f"({(time.time()-t0):.1f}s)",
+                flush=True,
+            )
+        if int(metrics["instance_overflow"]) > 0:
+            print(
+                f"WARNING it {iteration}: instance buffer overflow "
+                f"{int(metrics['instance_overflow'])} — raise pipe.instance_capacity",
+                file=sys.stderr,
+            )
+
+        if iteration in testing_iterations:
+            ev = evaluate_test(
+                state, scene.get_test_cameras(), settings_for(active_sh), bg_color
+            )
+            if ev:
+                results["test"][iteration] = ev
+                print(f"\n[ITER {iteration}] test: L1 {ev['l1']:.5f} PSNR {ev['psnr']:.2f}\n")
+
+        if iteration in saving_iterations and scene.model_path:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(
+                iteration, state.params, state.alive, state.exposure,
+                [c.image_name for c in train_cams],
+            )
+        if iteration in checkpoint_iterations and scene.model_path:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            save_checkpoint(
+                os.path.join(scene.model_path, f"chkpnt{iteration}.pkl"), state, iteration
+            )
+        if on_iteration is not None:
+            on_iteration(iteration, state, metrics)
+
+    results["wall_s"] = time.time() - t0
+    return state, scene, results

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Metrics CLI — SSIM/PSNR/LPIPS over rendered image dirs (reference
+`metrics.py:36-103`). Writes `results.json` and `per_view.json` in the model
+dir, same schema as the reference."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def read_images(renders_dir, gt_dir):
+    from PIL import Image
+
+    renders, gts, names = [], [], []
+    for fname in sorted(os.listdir(renders_dir)):
+        with Image.open(os.path.join(renders_dir, fname)) as r:
+            renders.append(np.asarray(r.convert("RGB"), np.float32) / 255.0)
+        with Image.open(os.path.join(gt_dir, fname)) as g:
+            gts.append(np.asarray(g.convert("RGB"), np.float32) / 255.0)
+        names.append(fname)
+    return renders, gts, names
+
+
+def evaluate(model_paths):
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.eval.lpips_jax import lpips, lpips_available
+    from gsplat_tpu.train.losses import psnr, ssim
+
+    ssim_j = jax.jit(ssim)
+    psnr_j = jax.jit(psnr)
+    lpips_j = jax.jit(lpips) if lpips_available() else None
+    if lpips_j is None:
+        print("WARNING: LPIPS weights unavailable — reporting lpips as null "
+              "(set GSPLAT_LPIPS_WEIGHTS; see gsplat_tpu/eval/lpips_jax.py)",
+              file=sys.stderr)
+
+    for model_path in model_paths:
+        print(f"Scene: {model_path}")
+        full, per_view = {}, {}
+        test_dir = os.path.join(model_path, "test")
+        try:
+            methods = sorted(os.listdir(test_dir))
+        except FileNotFoundError:
+            print(f"  no test renders in {model_path}", file=sys.stderr)
+            continue
+        for method in methods:
+            print(f"  Method: {method}")
+            mdir = os.path.join(test_dir, method)
+            renders, gts, names = read_images(
+                os.path.join(mdir, "renders"), os.path.join(mdir, "gt")
+            )
+            ssims, psnrs, lpipss = [], [], []
+            for r, g in zip(renders, gts):
+                rj, gj = jnp.asarray(r), jnp.asarray(g)
+                ssims.append(float(ssim_j(rj, gj)))
+                psnrs.append(float(psnr_j(rj, gj)))
+                lpipss.append(float(lpips_j(rj, gj)) if lpips_j else None)
+            mean = lambda xs: float(np.mean([x for x in xs if x is not None])) if any(
+                x is not None for x in xs
+            ) else None
+            print(f"    SSIM : {np.mean(ssims):.7f}")
+            print(f"    PSNR : {np.mean(psnrs):.7f}")
+            if lpips_j:
+                print(f"    LPIPS: {np.mean([l for l in lpipss]):.7f}")
+            full[method] = {
+                "SSIM": float(np.mean(ssims)),
+                "PSNR": float(np.mean(psnrs)),
+                "LPIPS": mean(lpipss),
+            }
+            per_view[method] = {
+                "SSIM": dict(zip(names, ssims)),
+                "PSNR": dict(zip(names, psnrs)),
+                "LPIPS": dict(zip(names, lpipss)),
+            }
+        with open(os.path.join(model_path, "results.json"), "w") as f:
+            json.dump(full, f, indent=2)
+        with open(os.path.join(model_path, "per_view.json"), "w") as f:
+            json.dump(per_view, f, indent=2)
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="gsplat_tpu metrics")
+    parser.add_argument(
+        "--model_paths", "-m", required=True, nargs="+", type=str
+    )
+    args = parser.parse_args(argv)
+    evaluate(args.model_paths)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

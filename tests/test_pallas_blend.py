@@ -1,0 +1,130 @@
+"""Pallas blend kernels (interpret mode) vs the differentiable jnp oracle.
+
+Ladder-of-fidelity: reference_math (numpy scalar) -> rasterize_jnp (jit) ->
+rasterize_pallas (Mosaic). On CPU the kernels run in the Pallas interpreter;
+the same comparisons are run on real TPU by the driver/bench path.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import gsplat_tpu.ops.rasterize_pallas as rp
+from gsplat_tpu.core.types import make_render_settings
+from gsplat_tpu.ops.binning import align_tile_segments, bin_gaussians
+from gsplat_tpu.ops.projection import preprocess
+from gsplat_tpu.ops.rasterize_jnp import blend_tiles_jnp
+from gsplat_tpu.render import grid_dims
+from tests.oracle.reference_math import make_test_scene
+from tests.test_forward_vs_oracle import scene_to_inputs
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    shim = types.SimpleNamespace(
+        **{k: getattr(pl, k) for k in dir(pl) if not k.startswith("_")}
+    )
+    shim.pallas_call = patched
+    monkeypatch.setattr(rp, "pl", shim)
+
+
+def build(n=600, width=96, height=80, sh_degree=1, seed=3):
+    sc = make_test_scene(
+        np.random.default_rng(seed), n=n, width=width, height=height, sh_degree=sh_degree
+    )
+    params, camera, alive = scene_to_inputs(sc)
+    settings = make_render_settings(
+        sh_degree=sh_degree, max_per_tile=1024, instance_capacity=1 << 14
+    )
+    gx, gy = grid_dims(camera, 16)
+    screen = preprocess(params, alive, camera, settings, gx, gy)
+    bins = bin_gaussians(screen, gx, gy, settings.instance_capacity)
+    return screen, bins, gx, gy
+
+
+def test_align_tile_segments_preserves_order():
+    screen, bins, gx, gy = build()
+    ab = align_tile_segments(bins, gx * gy, 128)
+    start = np.asarray(bins.tile_start)
+    end = np.asarray(bins.tile_end)
+    ps = np.asarray(ab.pad_start)
+    cnt = np.asarray(ab.count)
+    gid = np.asarray(ab.gauss_id)
+    valid = np.asarray(ab.valid)
+    np.testing.assert_array_equal(cnt, end - start)
+    assert np.all(ps % 128 == 0)
+    ref = np.asarray(bins.gauss_id)
+    for t in range(gx * gy):
+        seg = gid[ps[t] : ps[t] + cnt[t]]
+        np.testing.assert_array_equal(seg, ref[start[t] : end[t]])
+        assert valid[ps[t] : ps[t] + cnt[t]].all()
+        tail = valid[ps[t] + cnt[t] : ps[t] + (cnt[t] + 127) // 128 * 128]
+        assert not tail.any()
+
+
+def test_forward_matches_jnp():
+    screen, bins, gx, gy = build()
+    oj = blend_tiles_jnp(screen, bins, gx, gy, 16, 1024, 128)
+    op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+    np.testing.assert_allclose(np.asarray(op.color), np.asarray(oj.color), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(op.invdepth), np.asarray(oj.invdepth), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(op.final_t), np.asarray(oj.final_t), atol=2e-5)
+
+
+def test_backward_matches_jnp_autodiff():
+    screen, bins, gx, gy = build()
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.random((gx * gy, 256, 3)), jnp.float32)
+    wd = jnp.asarray(rng.random((gx * gy, 256)), jnp.float32)
+
+    def loss(fn):
+        def f(mean2d, conic, opacity, rgb, depth):
+            s2 = screen.replace(
+                mean2d=mean2d, conic=conic, opacity=opacity, rgb=rgb, depth=depth
+            )
+            out = fn(s2)
+            return (
+                jnp.sum((out.color - tgt) ** 2)
+                + jnp.sum(out.invdepth * wd)
+                + jnp.sum(out.final_t * 0.3)
+            )
+
+        return f
+
+    args = (screen.mean2d, screen.conic, screen.opacity, screen.rgb, screen.depth)
+    gj = jax.grad(
+        loss(lambda s: blend_tiles_jnp(s, bins, gx, gy, 16, 1024, 128)),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    gp = jax.grad(
+        loss(lambda s: rp.blend_tiles_pallas(s, bins, gx, gy, 16)),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    for name, a, b in zip(["mean2d", "conic", "opacity", "rgb", "depth"], gj, gp):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        rel = float(jnp.abs(a - b).max()) / scale
+        assert rel < 5e-5, f"{name}: rel diff {rel}"
+
+
+def test_empty_tiles_are_background():
+    # all gaussians culled -> kernel loop never runs, output must be clean
+    screen, bins, gx, gy = build(n=16)
+    screen = screen.replace(
+        tiles_touched=jnp.zeros_like(screen.tiles_touched),
+        mask=jnp.zeros_like(screen.mask),
+    )
+    bins = bin_gaussians(screen, gx, gy, 1 << 10)
+    op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+    assert np.all(np.asarray(op.color) == 0)
+    assert np.all(np.asarray(op.final_t) == 1.0)

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Training CLI — the `train.py` analogue of the reference (`train.py:254-285`).
+
+Usage:
+    python train.py -s <dataset path> [-m <model out>] [--iterations 30000] ...
+
+All reference flags are mirrored via config reflection (gsplat_tpu/config.py);
+extra TPU-side flags live in PipelineConfig (--backend jnp|pallas,
+--instance_capacity, --capacity).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from argparse import ArgumentParser
+
+from gsplat_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+    add_to_parser,
+    extract,
+    save_cfg_args,
+)
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="gsplat_tpu training")
+    add_to_parser(parser, ModelConfig(), "Loading Parameters")
+    add_to_parser(parser, OptimizationConfig(), "Optimization Parameters")
+    add_to_parser(parser, PipelineConfig(), "Pipeline Parameters")
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    args = parser.parse_args(argv)
+    args.save_iterations.append(args.iterations)
+
+    model_cfg = extract(ModelConfig, args)
+    opt_cfg = extract(OptimizationConfig, args)
+    pipe_cfg = extract(PipelineConfig, args)
+
+    if not model_cfg.source_path:
+        parser.error("-s/--source_path is required")
+    if not model_cfg.model_path:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg, model_path=os.path.join("./output", str(uuid.uuid4())[:10])
+        )
+    print(f"Optimizing {model_cfg.model_path}")
+    os.makedirs(model_cfg.model_path, exist_ok=True)
+    save_cfg_args(model_cfg.model_path, model_cfg)
+
+    from gsplat_tpu.train.loop import train
+
+    gui_server = None
+    if not args.disable_viewer:
+        try:
+            from gsplat_tpu.viewer.network_gui import NetworkGUI
+
+            gui_server = NetworkGUI(args.ip, args.port)
+        except Exception as e:  # viewer is best-effort, never blocks training
+            print(f"[viewer] disabled: {e}", file=sys.stderr)
+
+    on_iteration = gui_server.make_training_hook(model_cfg, pipe_cfg) if gui_server else None
+    try:
+        state, scene, results = train(
+            model_cfg,
+            opt_cfg,
+            pipe_cfg,
+            testing_iterations=tuple(args.test_iterations),
+            saving_iterations=tuple(args.save_iterations),
+            checkpoint_iterations=tuple(args.checkpoint_iterations),
+            start_checkpoint=args.start_checkpoint,
+            quiet=args.quiet,
+            on_iteration=on_iteration,
+        )
+    finally:
+        if gui_server:
+            gui_server.close()
+
+    print("\nTraining complete.")
+    for it, ev in results.get("test", {}).items():
+        print(f"  iter {it}: test PSNR {ev['psnr']:.2f}  L1 {ev['l1']:.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
