@@ -81,6 +81,15 @@ def rotmat2qvec(R):
 
 
 def read_cameras_binary(path) -> dict:
+    from gsplat_tpu.data import native
+
+    nat = native.colmap_cameras(path)
+    if nat is not None:
+        out = {}
+        for cam_id, (model_id, width, height, params) in nat.items():
+            name, n_params = CAMERA_MODELS[model_id]
+            out[cam_id] = ColmapCamera(cam_id, name, width, height, params[:n_params])
+        return out
     with open(path, "rb") as f:
         data = f.read()
     (num,) = struct.unpack_from("<Q", data, 0)
@@ -97,6 +106,16 @@ def read_cameras_binary(path) -> dict:
 
 
 def read_images_binary(path) -> dict:
+    from gsplat_tpu.data import native
+
+    nat = native.colmap_images(path)
+    if nat is not None:
+        empty_xys = np.zeros((0, 2))
+        empty_ids = np.zeros((0,), np.int64)
+        return {
+            iid: ColmapImage(iid, qvec, tvec, cam_id, name, empty_xys, empty_ids)
+            for iid, (qvec, tvec, cam_id, name) in nat.items()
+        }
     with open(path, "rb") as f:
         data = f.read()
     (num,) = struct.unpack_from("<Q", data, 0)
@@ -128,6 +147,11 @@ def read_images_binary(path) -> dict:
 
 def read_points3d_binary(path):
     """-> (xyz (N,3) f64, rgb (N,3) u8, error (N,)) like `colmap_loader.py:125`."""
+    from gsplat_tpu.data import native
+
+    nat = native.colmap_points3d(path)
+    if nat is not None:
+        return nat
     with open(path, "rb") as f:
         data = f.read()
     (num,) = struct.unpack_from("<Q", data, 0)

@@ -36,6 +36,18 @@ class PlyElementData:
     data: np.ndarray  # structured array
 
 
+def read_ply_columns(path):
+    """Vertex element as {prop_name: (N,) float32}, using the native C++
+    parser (native/gsplat_native.cpp) when available, else the Python one."""
+    from gsplat_tpu.data import native
+
+    res = native.ply_read_columns(path)
+    if res is not None:
+        return res[1]
+    v = read_ply(path)["vertex"]
+    return {nm: np.asarray(v[nm], np.float32) for nm in v.dtype.names}
+
+
 def read_ply(path) -> dict:
     """Parse a PLY file -> {element_name: structured ndarray}.
 
@@ -187,12 +199,12 @@ def load_gaussian_ply(path):
     """Read a reference-layout snapshot -> dict of pre-activation numpy arrays.
 
     Mirrors `load_ply` (`gaussian_model.py:271-314`) including the sorted
-    f_rest index ordering and the (N, 3, B) -> (N, B, 3) transpose.
+    f_rest index ordering and the (N, 3, B) -> (N, B, 3) transpose. Uses the
+    native parser when available (snapshots are all-float binary PLYs).
     """
-    ply = read_ply(path)
-    v = ply["vertex"]
-    names = v.dtype.names
-    n = len(v)
+    v = read_ply_columns(path)
+    names = list(v.keys())
+    n = len(v["x"])
     xyz = np.stack([v["x"], v["y"], v["z"]], axis=-1).astype(np.float32)
     opacity = np.asarray(v["opacity"], np.float32)[:, None]
     f_dc = np.stack([v[f"f_dc_{i}"] for i in range(3)], axis=-1).astype(np.float32)[:, None, :]

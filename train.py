@@ -36,6 +36,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
@@ -80,6 +81,7 @@ def main(argv=None):
             checkpoint_iterations=tuple(args.checkpoint_iterations),
             start_checkpoint=args.start_checkpoint,
             quiet=args.quiet,
+            log_every=args.log_every,
             on_iteration=on_iteration,
         )
     finally:
