@@ -21,6 +21,23 @@ this framework re-creates.
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: programs here are huge (full train step
+# with Pallas kernels) and this image's TPU compiles go through a slow remote
+# relay — caching across processes turns multi-minute recompiles into reloads.
+# jax may already be imported (env vars are read at import), so set via
+# jax.config; env GSPLAT_NO_COMP_CACHE=1 disables.
+import os as _os
+
+if not _os.environ.get("GSPLAT_NO_COMP_CACHE"):
+    import jax as _jax
+
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 from gsplat_tpu.core.types import GaussianParams, Camera, RenderSettings
 
 __all__ = [

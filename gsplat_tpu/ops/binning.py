@@ -1,18 +1,24 @@
 """Tile binning: (gaussian, tile)-instance expansion, depth sort, tile ranges.
 
 TPU-native re-design of the reference binning stage
-(`cuda_rasterizer/rasterizer_impl.cu:198-341`): where the CUDA path does
-cub::InclusiveSum over tiles_touched, a scatter kernel `duplicateWithKeys`
-emitting 64-bit [tileID | depth-bits] keys, a cub radix sort, and an
-`identifyTileRanges` kernel, we instead:
+(`cuda_rasterizer/rasterizer_impl.cu:198-341`). The CUDA path prefix-sums
+tiles_touched, scatters 64-bit [tileID|depth-bits] keys per instance
+(`duplicateWithKeys`), cub-radix-sorts them, and scans for tile ranges.
 
-1. prefix-sum tiles_touched (XLA cumsum),
-2. *gather*-expand: each instance slot finds its owning Gaussian with a
-   searchsorted over the inclusive prefix sum — a static-shape, scatter-free
-   formulation that XLA vectorizes cleanly (scatters serialize on TPU),
-3. lexicographically sort (tile_id, depth) with `jax.lax.sort` (stable,
-   multi-operand — no 64-bit key packing needed),
-4. compute per-tile [start, end) ranges with two searchsorteds.
+Here the same result comes from sort-light, scatter-light primitives chosen
+for what XLA:TPU executes fast:
+
+1. one small sort: gaussians ordered by view depth (N elements, not K
+   instances) — instances inherit depth order from their gaussian, so the
+   big instance sort needs only the tile key;
+2. gather-expansion of instance slots: each slot finds its owning (depth-
+   ordered) gaussian with a scatter+cumsum rank table instead of a
+   per-slot binary search (searchsorted lowers to log-N serialized gathers
+   on TPU; a cumsum is one memory-bound pass);
+3. one large *single-key* stable sort by tile id (stability preserves the
+   depth order within each tile — exactly the (tile, depth) lexicographic
+   order of the reference's packed radix keys);
+4. per-tile [start, end) ranges with two small searchsorteds (T queries).
 
 The instance buffer has static capacity; overflow is returned as a count the
 caller can check (the reference instead resizes device buffers dynamically,
@@ -40,37 +46,63 @@ class TileBins:
     overflow: jax.Array  # () int32 instances dropped due to capacity
 
 
+def _rank_table(boundaries, size: int):
+    """rank[j] = #entries with boundaries[b] <= j, for j in [0, size).
+
+    Scatter marks at each boundary then one inclusive cumsum — the TPU-fast
+    equivalent of searchsorted(boundaries, arange(size), side='right').
+    Boundaries >= size are dropped (their entries can't own in-range slots).
+    """
+    idx = jnp.where(boundaries < size, boundaries, size)
+    delta = jnp.zeros((size + 1,), jnp.int32).at[idx].add(1, mode="drop")
+    return jnp.cumsum(delta[:size])
+
+
 def bin_gaussians(screen: ScreenGaussians, grid_x: int, grid_y: int, capacity: int) -> TileBins:
-    """Expand Gaussians into depth-sorted per-tile instance lists."""
+    """Expand Gaussians into depth-sorted per-tile instance lists.
+
+    Pure integer structure: the depth keys order instances but are never
+    differentiated (the reference's sort is likewise outside autograd), so
+    gradients are cut here — keeps the sorts out of the VJP graph.
+    """
     num_tiles = grid_x * grid_y
-    tiles = screen.tiles_touched.astype(jnp.int32)  # 0 for culled
-    cum = jnp.cumsum(tiles)  # inclusive
+    screen = jax.tree.map(jax.lax.stop_gradient, screen)
+    n = screen.depth.shape[0]
+
+    # --- (1) depth-order the gaussians (small sort: N elements)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, order = jax.lax.sort((screen.depth, iota), num_keys=1, is_stable=True)
+    tiles_o = screen.tiles_touched[order].astype(jnp.int32)  # 0 for culled
+    rmin_o = screen.rect_min[order]
+    rmax_o = screen.rect_max[order]
+
+    cum = jnp.cumsum(tiles_o)  # inclusive
     total = cum[-1]
 
+    # --- (2) slot -> owning depth-ordered gaussian (scatter+cumsum rank)
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    # Owner of slot j: first gaussian whose inclusive cumsum exceeds j.
-    owner = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    owner = jnp.minimum(owner, tiles.shape[0] - 1)
-    offset = cum[owner] - tiles[owner]  # exclusive prefix for the owner
+    owner = jnp.minimum(_rank_table(cum, capacity), n - 1)  # (K,)
+    offset = cum[owner] - tiles_o[owner]  # exclusive prefix for the owner
     local = slots - offset  # which of the owner's tiles this slot is
 
-    rmin = screen.rect_min[owner]  # (K, 2)
-    rmax = screen.rect_max[owner]
-    rect_w = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)
+    rmin = rmin_o[owner]  # (K, 2)
+    rect_w = jnp.maximum(rmax_o[owner][:, 0] - rmin[:, 0], 1)
     tx = rmin[:, 0] + local % rect_w
     ty = rmin[:, 1] + local // rect_w
     tile_id = ty * grid_x + tx
 
     valid = slots < jnp.minimum(total, capacity)
     tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
-    depth_key = jnp.where(valid, screen.depth[owner], jnp.inf).astype(jnp.float32)
+    gid = jnp.where(valid, order[owner], 0).astype(jnp.int32)
 
-    # Stable lexicographic (tile, depth) sort — the lax.sort analogue of the
-    # cub radix SortPairs on packed [tile|depth-bits] keys.
-    tile_sorted, _depth_sorted, gauss_sorted = jax.lax.sort(
-        (tile_key, depth_key, owner), num_keys=2, is_stable=True
+    # --- (3) single-key stable sort by tile: slots are emitted in global
+    # depth order, so stability gives (tile, depth) lexicographic order —
+    # the reference's radix key order (`rasterizer_impl.cu:303-311`).
+    tile_sorted, gauss_sorted = jax.lax.sort(
+        (tile_key, gid), num_keys=1, is_stable=True
     )
 
+    # --- (4) per-tile ranges (T small queries)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
     end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
@@ -105,9 +137,9 @@ class AlignedBins:
 def align_tile_segments(bins: TileBins, num_tiles: int, chunk: int = 128) -> AlignedBins:
     """Re-lay the sorted instance list into 128-aligned per-tile segments.
 
-    Scatter-free: each padded slot locates its (tile, rank) with one
-    searchsorted over the padded prefix sums, then gathers from the sorted
-    list. Capacity of the padded buffer is static:
+    Scatter-free on the data path: each padded slot locates its (tile, rank)
+    with a scatter+cumsum tile table, then gathers from the sorted list.
+    Capacity of the padded buffer is static:
     instance_capacity + chunk * num_tiles (worst-case tail padding).
     """
     k = bins.gauss_id.shape[0]
@@ -118,8 +150,10 @@ def align_tile_segments(bins: TileBins, num_tiles: int, chunk: int = 128) -> Ali
 
     kp = k + chunk * num_tiles
     slots = jnp.arange(kp, dtype=jnp.int32)
-    t_of = jnp.searchsorted(poff_incl, slots, side="right").astype(jnp.int32)
-    t_of = jnp.minimum(t_of, num_tiles - 1)
+    # t_of[j] = index of the tile whose padded segment holds slot j:
+    # #tiles with pad_start <= j, minus 1 (empty tiles stack marks — their
+    # zero-length segments are skipped by the cumsum jump).
+    t_of = jnp.minimum(_rank_table(pad_start, kp) - 1, num_tiles - 1)
     r = slots - pad_start[t_of]
     valid = (r < count[t_of]) & (slots < poff_incl[num_tiles - 1])
     src = jnp.minimum(bins.tile_start[t_of] + r, k - 1)

@@ -380,19 +380,22 @@ def blend_tiles_pallas(
     inv_depth_all = 1.0 / jnp.maximum(screen.depth, 0.2)
 
     def pack(mean2d, conic, opacity, rgb, invz):
-        """Gather per-instance rows -> (16, K_pad) gaussian-lane layout."""
-        rows = jnp.stack(
+        """Gather per-instance rows -> (16, K_pad) gaussian-lane layout.
+
+        One (N, 16) table + ONE contiguous row-gather at the instance ids
+        (row gathers of 64B lines are the fast gather shape on TPU; ten
+        separate scalar-column gathers cost ~10x the latency), then a single
+        XLA transpose into the kernel's lane-major layout."""
+        table = jnp.concatenate(
             [
-                mean2d[gauss_id, 0], mean2d[gauss_id, 1],
-                conic[gauss_id, 0], conic[gauss_id, 1], conic[gauss_id, 2],
-                opacity[gauss_id],
-                rgb[gauss_id, 0], rgb[gauss_id, 1], rgb[gauss_id, 2],
-                invz[gauss_id],
+                mean2d, conic, opacity[:, None], rgb, invz[:, None],
+                jnp.zeros((mean2d.shape[0], N_ROWS - 10), jnp.float32),
             ],
-            axis=0,
-        )  # (10, K)
-        rows = jnp.pad(rows, ((0, N_ROWS - 10), (0, k_pad - k)))
-        return rows
+            axis=1,
+        )  # (N, 16)
+        inst = table[gauss_id]  # (K, 16) single row-gather
+        inst = jnp.pad(inst, ((0, k_pad - k), (0, 0)))
+        return inst.T  # (16, K_pad)
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz):

@@ -150,6 +150,15 @@ def train(
 
     densify_step = make_densify_step(opt)
 
+    tb = None
+    if scene.model_path:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(scene.model_path)
+        except Exception:
+            print("tensorboard unavailable — progress logs only", file=sys.stderr)
+
     rng = random.Random(0)
     np_rng = np.random.default_rng(0)
     viewpoint_stack = []
@@ -158,6 +167,7 @@ def train(
     results = {"test": {}}
     active_sh = 0
     t0 = time.time()
+    t_iter = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
         # SH degree ramp every 1000 iters (`train.py:93-95`)
@@ -202,6 +212,14 @@ def train(
         loss = float(metrics["loss"])
         ema_loss = 0.4 * loss + 0.6 * ema_loss
         ema_depth = 0.4 * float(metrics["depth_l1"]) + 0.6 * ema_depth
+
+        # tensorboard scalars (`train.py:214-228` training_report)
+        if tb is not None and iteration % max(log_every, 1) == 0:
+            tb.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
+            tb.add_scalar("train_loss_patches/total_loss", loss, iteration)
+            tb.add_scalar("iter_time", (time.time() - t_iter) * 1000.0, iteration)
+            tb.add_scalar("total_points", int(state.alive.sum()), iteration)
+        t_iter = time.time()
         if not quiet and iteration % max(log_every, 1) == 0:
             n_alive = int(state.alive.sum())
             print(
@@ -224,6 +242,9 @@ def train(
             if ev:
                 results["test"][iteration] = ev
                 print(f"\n[ITER {iteration}] test: L1 {ev['l1']:.5f} PSNR {ev['psnr']:.2f}\n")
+                if tb is not None:
+                    tb.add_scalar("test/loss_viewpoint - l1_loss", ev["l1"], iteration)
+                    tb.add_scalar("test/loss_viewpoint - psnr", ev["psnr"], iteration)
 
         if iteration in saving_iterations and scene.model_path:
             print(f"\n[ITER {iteration}] Saving Gaussians")
@@ -239,5 +260,7 @@ def train(
         if on_iteration is not None:
             on_iteration(iteration, state, metrics)
 
+    if tb is not None:
+        tb.close()
     results["wall_s"] = time.time() - t0
     return state, scene, results

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Stage-by-stage wall-clock profile of the render pipeline on the current
+backend. Identifies which stage bounds pixels/s (sort? gathers? kernel?
+segment_sum in backward?)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=5, warmup=1):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    from __graft_entry__ import _tiny_scene
+    from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.ops.binning import align_tile_segments, bin_gaussians
+    from gsplat_tpu.ops.projection import preprocess
+    from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
+    from gsplat_tpu.render import grid_dims, render
+
+    width, height, n = 1920, 1080, 262_144
+    params, alive, camera = _tiny_scene(n=n, width=width, height=height, sh_degree=3, capacity=n)
+    settings = make_render_settings(
+        sh_degree=3, max_per_tile=2048, instance_capacity=1 << 22, backend="pallas"
+    )
+    gx, gy = grid_dims(camera, settings.tile)
+
+    pre = jax.jit(lambda p, a: preprocess(p, a, camera, settings, gx, gy))
+    t, screen = timeit(pre, params, alive)
+    print(f"preprocess           {t*1e3:8.2f} ms")
+
+    bins_f = jax.jit(lambda s: bin_gaussians(s, gx, gy, settings.instance_capacity))
+    t, bins = timeit(bins_f, screen)
+    print(f"binning (sort)       {t*1e3:8.2f} ms   instances={int(bins.num_instances)} overflow={int(bins.overflow)}")
+
+    align_f = jax.jit(lambda b: align_tile_segments(b, gx * gy))
+    t, abins = timeit(align_f, bins)
+    print(f"align segments       {t*1e3:8.2f} ms")
+
+    fwd = jax.jit(lambda s, b: blend_tiles_pallas(s, b, gx, gy, settings.tile))
+    t, _ = timeit(fwd, screen, bins)
+    print(f"blend fwd (incl align+pack) {t*1e3:8.2f} ms")
+
+    full_f = jax.jit(lambda p, a: render(camera, p, a, settings, jnp.zeros(3))["render"].mean())
+    t, _ = timeit(full_f, params, alive)
+    print(f"full forward         {t*1e3:8.2f} ms")
+
+    grad_f = jax.jit(jax.grad(lambda p, a: render(camera, p, a, settings, jnp.zeros(3))["render"].mean()))
+    t, _ = timeit(grad_f, params, alive)
+    print(f"full fwd+bwd         {t*1e3:8.2f} ms   -> {width*height/t/1e6:.2f} Mpix/s")
+
+
+if __name__ == "__main__":
+    main()
