@@ -36,10 +36,19 @@ def mean_knn_sq_dist(points, k: int = 3, chunk: int = 2048):
         # d2[i, j] = |ci|^2 - 2 ci.pj + |pj|^2
         cross = chunk_pts @ points.T  # (chunk, N) — MXU
         d2 = jnp.sum(chunk_pts * chunk_pts, axis=-1)[:, None] - 2.0 * cross + sq_norms[None, :]
-        # self-distance is ~0 and lands in the top-k; take k+1 and drop it.
-        neg_top, _ = jax.lax.top_k(-d2, k + 1)
-        d_sorted = -neg_top  # ascending: [self≈0, nn1, ..., nnk]
-        return jnp.mean(jnp.maximum(d_sorted[:, 1:], 0.0), axis=-1)
+        # k+1 smallest (the ~0 self-distance first) via iterative min
+        # extraction: k+1 masked VPU reduces. NOT lax.top_k — that lowers to
+        # a full per-row sort on TPU (minutes at N=100k).
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        work = d2
+        acc = jnp.zeros(d2.shape[0], d2.dtype)
+        for i in range(k + 1):
+            idx = jnp.argmin(work, axis=1)  # (chunk,)
+            m = jnp.min(work, axis=1)
+            if i > 0:  # skip the self match
+                acc = acc + jnp.maximum(m, 0.0)
+            work = jnp.where(cols == idx[:, None], jnp.inf, work)
+        return acc / k
 
     chunks = pts_pad.reshape(-1, chunk, 3)
     out = jax.lax.map(one_chunk, chunks).reshape(-1)
