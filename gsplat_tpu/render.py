@@ -30,6 +30,20 @@ def grid_dims(camera: Camera, tile: int):
     return (camera.width + tile - 1) // tile, (camera.height + tile - 1) // tile
 
 
+def mark_visible(positions, camera: Camera):
+    """Frustum-visibility mask for a set of world positions.
+
+    The `GaussianRasterizer.markVisible` API (`__init__.py:163-172` ->
+    `markVisible` kernel, `rasterize_points.cu:225-244`): view-space z > 0.2,
+    matching `in_frustum` with its disabled xy-bounds check
+    (`auxiliary.h:151-176`)."""
+    p_view = (
+        jnp.einsum("nj,ij->ni", positions, camera.world_view[:3, :3])
+        + camera.world_view[:3, 3]
+    )
+    return p_view[:, 2] > 0.2
+
+
 def render(
     camera: Camera,
     params: GaussianParams,

@@ -37,6 +37,11 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--log_every", type=int, default=10)
+    parser.add_argument(
+        "--profile_steps", type=int, default=0,
+        help="capture a jax.profiler trace of N steps (written to "
+        "<model>/profile; the reference's AIE packet-trace analogue)",
+    )
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
@@ -71,6 +76,29 @@ def main(argv=None):
             print(f"[viewer] disabled: {e}", file=sys.stderr)
 
     on_iteration = gui_server.make_training_hook(model_cfg, pipe_cfg) if gui_server else None
+
+    if args.profile_steps > 0:
+        # jax.profiler trace window — the TPU-side analogue of the reference's
+        # AIE packet tracing (`GS-IRON/npu-1/NPU/precomp.py:191-204`) and
+        # torch.cuda.Event timing (`train.py:60-61`); view with tensorboard
+        # or xprof.
+        import jax
+
+        prof_dir = os.path.join(model_cfg.model_path, "profile")
+        gui_hook = on_iteration
+
+        def profile_hook(iteration, state, metrics, _state={"on": False}):
+            if iteration == 2 and not _state["on"]:
+                jax.profiler.start_trace(prof_dir)
+                _state["on"] = True
+            elif _state["on"] and iteration >= 2 + args.profile_steps:
+                jax.profiler.stop_trace()
+                _state["on"] = False
+                print(f"[profile] trace written to {prof_dir}")
+            if gui_hook:
+                gui_hook(iteration, state, metrics)
+
+        on_iteration = profile_hook
     try:
         state, scene, results = train(
             model_cfg,
