@@ -68,7 +68,7 @@ class GaussianParams:
         return jax.tree.map(lambda a: a.astype(dtype), self)
 
 
-@pytree_dataclass(meta_fields=("width", "height", "image_name", "uid", "depth_reliable"))
+@pytree_dataclass(meta_fields=("width", "height"))
 class Camera:
     """A single calibrated view.
 
@@ -79,6 +79,10 @@ class Camera:
     (The reference stores the transposes of these because glm/torch multiply
     row-vectors from the left; the CUDA kernels then index them column-first,
     which lands on exactly this math.)
+
+    Only width/height are static (they set array shapes). Identity metadata
+    (image name, uid, depth flags) lives on the host-side LoadedCamera —
+    putting it here would make every distinct camera a fresh jit cache miss.
     """
 
     world_view: Array  # (4, 4) world -> camera
@@ -88,9 +92,6 @@ class Camera:
     tan_fovy: Array  # () scalar
     width: int = 0
     height: int = 0
-    image_name: str = ""
-    uid: int = 0
-    depth_reliable: bool = False
 
     @property
     def focal_x(self):

@@ -59,6 +59,7 @@ class LoadedCamera:
     depth_mask: np.ndarray | None  # (H, W, 1) float32 or None
     image_name: str
     uid: int
+    depth_reliable: bool
     colmap_id: int
     R: np.ndarray
     T: np.ndarray
@@ -76,7 +77,7 @@ class LoadedCamera:
 
 def make_camera(
     R, T, fovx, fovy, width, height, trans=None, scale=1.0,
-    znear=0.01, zfar=100.0, image_name="", uid=0, depth_reliable=False,
+    znear=0.01, zfar=100.0,
 ) -> Camera:
     """Assemble the device-side Camera pytree from reference-convention (R, T)."""
     w2v = world_to_view(R, T, trans, scale)  # (4,4) math form
@@ -91,9 +92,6 @@ def make_camera(
         tan_fovy=jnp.float32(np.tan(fovy * 0.5)),
         width=int(width),
         height=int(height),
-        image_name=image_name,
-        uid=int(uid),
-        depth_reliable=bool(depth_reliable),
     )
 
 
@@ -163,9 +161,7 @@ def load_camera(
                 invdepth = invdepth * dp["scale"] + dp["offset"]
 
     camera = make_camera(
-        info.R, info.T, info.fovx, info.fovy, w, h,
-        trans=trans, scale=scale, image_name=info.image_name, uid=uid,
-        depth_reliable=depth_reliable,
+        info.R, info.T, info.fovx, info.fovy, w, h, trans=trans, scale=scale
     )
     return LoadedCamera(
         camera=camera,
@@ -175,6 +171,7 @@ def load_camera(
         depth_mask=depth_mask,
         image_name=info.image_name,
         uid=uid,
+        depth_reliable=depth_reliable,
         colmap_id=info.uid,
         R=info.R,
         T=info.T,

@@ -67,13 +67,18 @@ def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=No
         cameras = cameras[:max_views]
     if not cameras:
         return None
+
+    @jax.jit
+    def eval_one(camera, params, alive, gt):
+        out = render(camera, params, alive, settings, bg)
+        img = jnp.clip(out["render"], 0.0, 1.0)
+        return losses.l1_loss(img, gt), losses.psnr(img, gt)
+
     l1s, psnrs = [], []
     for cam in cameras:
-        out = render(cam.camera, state.params, state.alive, settings, bg)
-        img = jnp.clip(out["render"], 0.0, 1.0)
-        gt = jnp.asarray(cam.image)
-        l1s.append(float(losses.l1_loss(img, gt)))
-        psnrs.append(float(losses.psnr(img, gt)))
+        l1, ps = eval_one(cam.camera, state.params, state.alive, jnp.asarray(cam.image))
+        l1s.append(float(l1))
+        psnrs.append(float(ps))
     return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
 
 
@@ -185,7 +190,7 @@ def train(
             if opt.random_background
             else bg_color
         )
-        depth_w = depth_sched(iteration) if cam.camera.depth_reliable else 0.0
+        depth_w = depth_sched(iteration) if cam.depth_reliable else 0.0
 
         state, metrics = step_fn(active_sh)(
             state, cam.camera, gt, mask, invd, dmask, bg,
