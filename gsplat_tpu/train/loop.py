@@ -35,18 +35,26 @@ from gsplat_tpu.train.step import (
 from gsplat_tpu.utils.general import expon_lr_func
 
 
-def _device_batch(cam):
-    """Ship one LoadedCamera's pixel data to device (zeros where absent)."""
-    h, w = cam.image.shape[:2]
-    gt = jnp.asarray(cam.image)
-    mask = jnp.asarray(cam.alpha_mask)
-    if cam.invdepth is not None:
-        invd = jnp.asarray(cam.invdepth)
-        dmask = jnp.asarray(cam.depth_mask[..., 0])
-    else:
-        invd = jnp.zeros((h, w), jnp.float32)
-        dmask = jnp.zeros((h, w), jnp.float32)
-    return gt, mask, invd, dmask
+def _device_batch(cam, _cache={}):
+    """Ship one LoadedCamera's pixel data to device, cached per camera.
+
+    Device residency matters doubly here: the reference keeps every camera's
+    tensors on the GPU up front (`scene/cameras.py:57`), and on this image
+    host->device copies cross the axon tunnel (~seconds per 15MB re-upload).
+    """
+    key = (id(cam.image), cam.uid)
+    if key not in _cache:
+        h, w = cam.image.shape[:2]
+        gt = jnp.asarray(cam.image)
+        mask = jnp.asarray(cam.alpha_mask)
+        if cam.invdepth is not None:
+            invd = jnp.asarray(cam.invdepth)
+            dmask = jnp.asarray(cam.depth_mask[..., 0])
+        else:
+            invd = jnp.zeros((h, w), jnp.float32)
+            dmask = jnp.zeros((h, w), jnp.float32)
+        _cache[key] = (gt, mask, invd, dmask)
+    return _cache[key]
 
 
 def save_checkpoint(path, state, iteration):
@@ -214,31 +222,33 @@ def train(
             ):
                 state = opacity_reset_step(state)
 
-        loss = float(metrics["loss"])
-        ema_loss = 0.4 * loss + 0.6 * ema_loss
-        ema_depth = 0.4 * float(metrics["depth_l1"]) + 0.6 * ema_depth
-
-        # tensorboard scalars (`train.py:214-228` training_report)
-        if tb is not None and iteration % max(log_every, 1) == 0:
-            tb.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
-            tb.add_scalar("train_loss_patches/total_loss", loss, iteration)
-            tb.add_scalar("iter_time", (time.time() - t_iter) * 1000.0, iteration)
-            tb.add_scalar("total_points", int(state.alive.sum()), iteration)
+        # Sync metrics to host only on log iterations: float()-ing every step
+        # would serialize host and device (JAX dispatch is async; the
+        # reference hides the same sync behind CUDA stream depth).
+        if iteration % max(log_every, 1) == 0:
+            loss = float(metrics["loss"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            ema_depth = 0.4 * float(metrics["depth_l1"]) + 0.6 * ema_depth
+            if tb is not None:
+                tb.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
+                tb.add_scalar("train_loss_patches/total_loss", loss, iteration)
+                tb.add_scalar("iter_time", (time.time() - t_iter) * 1000.0, iteration)
+                tb.add_scalar("total_points", int(state.alive.sum()), iteration)
+            if not quiet:
+                n_alive = int(state.alive.sum())
+                print(
+                    f"it {iteration:6d}  loss {ema_loss:.5f}  depth {ema_depth:.5f}  "
+                    f"alive {n_alive}  vis {int(metrics['n_visible'])}  "
+                    f"({(time.time()-t0):.1f}s)",
+                    flush=True,
+                )
+            if int(metrics["instance_overflow"]) > 0:
+                print(
+                    f"WARNING it {iteration}: instance buffer overflow "
+                    f"{int(metrics['instance_overflow'])} — raise pipe.instance_capacity",
+                    file=sys.stderr,
+                )
         t_iter = time.time()
-        if not quiet and iteration % max(log_every, 1) == 0:
-            n_alive = int(state.alive.sum())
-            print(
-                f"it {iteration:6d}  loss {ema_loss:.5f}  depth {ema_depth:.5f}  "
-                f"alive {n_alive}  vis {int(metrics['n_visible'])}  "
-                f"({(time.time()-t0):.1f}s)",
-                flush=True,
-            )
-        if int(metrics["instance_overflow"]) > 0:
-            print(
-                f"WARNING it {iteration}: instance buffer overflow "
-                f"{int(metrics['instance_overflow'])} — raise pipe.instance_capacity",
-                file=sys.stderr,
-            )
 
         if iteration in testing_iterations:
             ev = evaluate_test(
