@@ -123,9 +123,21 @@ def load_camera(
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if arr.shape[2] == 4:
         alpha = arr[:, :, 3:4]
-        bg = np.ones(3, np.float32) if white_background else np.zeros(3, np.float32)
-        rgb = arr[:, :, :3] * alpha + bg * (1.0 - alpha)
-        alpha_mask = alpha.copy()
+        if is_nerf_synthetic:
+            # Blender path: the reference composites RGBA onto the background
+            # in the *reader* (`dataset_readers.py:253-259`) and hands an RGB
+            # image to Camera — the alpha never becomes a loss mask
+            # (`cameras.py:44-48` sees 3 channels -> mask of ones). Keeping
+            # the alpha as a mask here would zero the rendered background
+            # against a white gt and poison the loss.
+            bg = np.ones(3, np.float32) if white_background else np.zeros(3, np.float32)
+            rgb = arr[:, :, :3] * alpha + bg * (1.0 - alpha)
+            alpha_mask = np.ones((h, w, 1), np.float32)
+        else:
+            # COLMAP path: RGBA images keep their alpha as the loss mask and
+            # the gt stays un-composited, like the reference Camera.
+            rgb = arr[:, :, :3]
+            alpha_mask = alpha.copy()
     else:
         rgb = arr[:, :, :3]
         alpha_mask = np.ones((h, w, 1), np.float32)
