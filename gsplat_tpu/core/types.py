@@ -111,6 +111,7 @@ class Camera:
         "antialiasing",
         "sh_degree",
         "backend",
+        "packet_dtype",
     )
 )
 class RenderSettings:
@@ -132,6 +133,7 @@ class RenderSettings:
     antialiasing: bool = False
     sh_degree: int = 3
     backend: str = "jnp"  # "jnp" | "pallas"
+    packet_dtype: str = "float32"  # "float32" | "bfloat16" (pallas instance DMA)
 
 
 def make_render_settings(**kw) -> RenderSettings:

@@ -91,6 +91,7 @@ def _pixel_coords(tile_idx, grid_x, tile):
 
 def _chunk_blend(blk, px, py, t_raw, remaining):
     """Shared fwd/bwd per-chunk math. Returns dict of (256,128) quantities."""
+    blk = blk.astype(jnp.float32)  # no-op for f32 packets; upcast for bf16
     mx = blk[_ROW_MX : _ROW_MX + 1, :]
     my = blk[_ROW_MY : _ROW_MY + 1, :]
     ca = blk[_ROW_CA : _ROW_CA + 1, :]
@@ -136,6 +137,8 @@ def _chunk_blend(blk, px, py, t_raw, remaining):
 
 
 def _fwd_kernel(grid_x, tile, start_ref, count_ref, inst_ref, out_ref, scr, sems):
+    # instance packets may be bf16 (half the DMA traffic, the GS-IRON bf16
+    # ladder analogue); all blend math runs f32
     t = pl.program_id(0)
     start = start_ref[t]
     n = count_ref[t]
@@ -163,7 +166,7 @@ def _fwd_kernel(grid_x, tile, start_ref, count_ref, inst_ref, out_ref, scr, sems
             get_dma((ci + 1) % 2, ci + 1).start()
 
         get_dma(slot, ci).wait()
-        blk = scr[slot]  # (16, 128)
+        blk = scr[slot].astype(jnp.float32)  # (16, 128)
         q = _chunk_blend(blk, px, py, t_raw, n - ci * CHUNK)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
@@ -199,7 +202,7 @@ def _run_forward(inst_t, pad_start, count, grid_x, grid_y, tile):
             (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -260,7 +263,7 @@ def _bwd_kernel(
             ).wait()
 
         get_dma(slot, ci).wait()
-        blk = scr[slot]
+        blk = scr[slot].astype(jnp.float32)
         q = _chunk_blend(blk, px, py, t_raw, n - ci * CHUNK)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
@@ -345,8 +348,8 @@ def _run_backward(inst_t, pad_start, count, fwd_out, dout, grid_x, grid_y, tile)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dinst (16, K)
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),  # grads stay f32
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -365,9 +368,17 @@ def _run_backward(inst_t, pad_start, count, fwd_out, dout, grid_x, grid_y, tile)
 
 
 def blend_tiles_pallas(
-    screen: ScreenGaussians, bins: TileBins, grid_x: int, grid_y: int, tile: int
+    screen: ScreenGaussians,
+    bins: TileBins,
+    grid_x: int,
+    grid_y: int,
+    tile: int,
+    packet_dtype=jnp.float32,
 ) -> BlendOutput:
+    """packet_dtype=jnp.bfloat16 streams instance packets at half bandwidth
+    (forward-quality renders; keep f32 for gradient-faithful training)."""
     assert tile * tile == PPT, "pallas blend kernel is built for 16x16 tiles"
+    pack_dtype = packet_dtype
     num_tiles = grid_x * grid_y
     abins = align_tile_segments(bins, num_tiles, CHUNK)
     k = abins.gauss_id.shape[0]
@@ -395,7 +406,7 @@ def blend_tiles_pallas(
         )  # (N, 16)
         inst = table[gauss_id]  # (K, 16) single row-gather
         inst = jnp.pad(inst, ((0, k_pad - k), (0, 0)))
-        return inst.T  # (16, K_pad)
+        return inst.T.astype(pack_dtype)  # (16, K_pad)
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz):

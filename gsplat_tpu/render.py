@@ -81,7 +81,10 @@ def render(
     if settings.backend == "pallas":
         from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
-        out = blend_tiles_pallas(screen, bins, gx, gy, settings.tile)
+        out = blend_tiles_pallas(
+            screen, bins, gx, gy, settings.tile,
+            packet_dtype=jnp.dtype(settings.packet_dtype),
+        )
     else:
         out = blend_tiles_jnp(
             screen, bins, gx, gy, settings.tile, settings.max_per_tile, settings.chunk

