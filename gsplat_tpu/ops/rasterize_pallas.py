@@ -425,22 +425,19 @@ def blend_tiles_pallas(
         )  # (16, K_pad)
         # mask padding slots and any segment tail garbage before reduction
         dinst = jnp.where(slot_valid[None, :], dinst[:, :k], 0.0)
-        # CUDA atomicAdd -> segment-sum over the sorted instance -> gaussian map
+        # CUDA atomicAdd -> ONE row-wise segment-sum over the sorted
+        # instance -> gaussian map. A single (K, 16) scatter-add runs at HBM
+        # bandwidth; ten per-column segment_sums fused together serialize on
+        # TPU (same pathology as column gathers — see binning.py).
         n_gauss = screen.mean2d.shape[0]
-        seg = functools.partial(
-            jax.ops.segment_sum, num_segments=n_gauss, indices_are_sorted=False
-        )
-        d_mean2d = jnp.stack(
-            [seg(dinst[_ROW_MX], gauss_id), seg(dinst[_ROW_MY], gauss_id)], axis=-1
-        )
-        d_conic = jnp.stack(
-            [seg(dinst[_ROW_CA], gauss_id), seg(dinst[_ROW_CB], gauss_id),
-             seg(dinst[_ROW_CC], gauss_id)],
-            axis=-1,
-        )
-        d_op = seg(dinst[_ROW_OP], gauss_id)
-        d_rgb = jnp.stack([seg(dinst[_ROW_FEAT + i], gauss_id) for i in range(3)], axis=-1)
-        d_invz = seg(dinst[_ROW_FEAT + 3], gauss_id)
+        drows = jax.ops.segment_sum(
+            dinst.T, gauss_id, num_segments=n_gauss, indices_are_sorted=False
+        )  # (N, 16)
+        d_mean2d = drows[:, _ROW_MX : _ROW_MY + 1]
+        d_conic = drows[:, _ROW_CA : _ROW_CC + 1]
+        d_op = drows[:, _ROW_OP]
+        d_rgb = drows[:, _ROW_FEAT : _ROW_FEAT + 3]
+        d_invz = drows[:, _ROW_FEAT + 3]
         return d_mean2d, d_conic, d_op, d_rgb, d_invz
 
     blend.defvjp(blend_fwd, blend_bwd)
