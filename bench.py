@@ -34,7 +34,7 @@ def main():
     params, alive, camera = _tiny_scene(n=n, width=width, height=height, sh_degree=3, capacity=n)
 
     settings = make_render_settings(
-        sh_degree=3, max_per_tile=2048, instance_capacity=1 << 22, backend="pallas"
+        sh_degree=3, max_per_tile=2048, instance_capacity=1 << 21, backend="pallas"
     )
 
     def loss_fn(params, alive):

@@ -69,12 +69,20 @@ def bin_gaussians(screen: ScreenGaussians, grid_x: int, grid_y: int, capacity: i
     screen = jax.tree.map(jax.lax.stop_gradient, screen)
     n = screen.depth.shape[0]
 
-    # --- (1) depth-order the gaussians (small sort: N elements)
+    # --- (1) depth-order the gaussians (small sort: N elements); culled rows
+    # have tiles_touched == 0 and contribute nothing to the expansion
     iota = jnp.arange(n, dtype=jnp.int32)
     _, order = jax.lax.sort((screen.depth, iota), num_keys=1, is_stable=True)
-    tiles_o = screen.tiles_touched[order].astype(jnp.int32)  # 0 for culled
-    rmin_o = screen.rect_min[order]
-    rmax_o = screen.rect_max[order]
+    # one packed row-gather for all per-gaussian attributes (see below)
+    pre = jnp.concatenate(
+        [screen.tiles_touched[:, None].astype(jnp.int32), screen.rect_min,
+         screen.rect_max[:, 0:1]],
+        axis=1,
+    )  # (N, 4): tiles, rmin_x, rmin_y, rmax_x
+    pre_o = pre[order]  # (N, 4)
+    tiles_o = pre_o[:, 0]
+    rmin_o = pre_o[:, 1:3]
+    rmax_o = pre_o[:, 3:4]
 
     cum = jnp.cumsum(tiles_o)  # inclusive
     total = cum[-1]
@@ -111,10 +119,12 @@ def bin_gaussians(screen: ScreenGaussians, grid_x: int, grid_y: int, capacity: i
         (tile_key, gid), num_keys=1, is_stable=True
     )
 
-    # --- (4) per-tile ranges (T small queries)
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
+    # --- (4) per-tile ranges: one searchsorted over T+1 boundary queries
+    # (end[t] == start[t+1] because the sorted keys are tile-contiguous)
+    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    start = bounds[:num_tiles]
+    end = bounds[1:]
 
     return TileBins(
         gauss_id=gauss_sorted,
@@ -171,8 +181,15 @@ def align_tile_segments(bins: TileBins, num_tiles: int, chunk: int = 128) -> Ali
     rem = rows[:, 2] - r_chunk * chunk  # true instances left in this chunk
 
     lane = jnp.arange(chunk, dtype=jnp.int32)
-    idx = jnp.clip(src0[:, None] + lane[None, :], 0, k - 1)  # (Kc, chunk)
-    gid2d = bins.gauss_id[idx]  # row-contiguous gather
+    # slice-shaped gather (gather with slice_sizes=(chunk,)): Kc slices of
+    # `chunk` contiguous elements — NOT a (Kc, chunk) index gather, which
+    # XLA:TPU executes as Kc*chunk independent scalar gathers (~17ns each)
+    ga_pad = jnp.pad(bins.gauss_id, (0, chunk))  # keeps tail slices in-bounds
+    # (dynamic_slice clamps out-of-range starts, which would shift the
+    # lane <-> instance correspondence for the last real chunk)
+    gid2d = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ga_pad, (jnp.maximum(s, 0),), (chunk,))
+    )(src0)  # (Kc, chunk)
     valid2d = (lane[None, :] < rem[:, None]) & (cidx < total_chunks)[:, None]
     gid2d = jnp.where(valid2d, gid2d, 0)
 
