@@ -48,6 +48,7 @@ class ScreenGaussians:
     rgb: jax.Array  # (N, 3) SH-evaluated color
     depth: jax.Array  # (N,) view-space z
     radius: jax.Array  # (N,) int32 screen radius in pixels
+    cull_r2: jax.Array  # (N,) f32 tight-cull radius^2 (margin-padded; see binning)
     rect_min: jax.Array  # (N, 2) int32 (tile_x, tile_y) inclusive
     rect_max: jax.Array  # (N, 2) int32 (tile_x, tile_y) exclusive
     tiles_touched: jax.Array  # (N,) int32
@@ -192,6 +193,15 @@ def preprocess(
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-20)))
     radius = radius_f.astype(jnp.int32)
 
+    # Tight-cull threshold for binning: a (gaussian, tile) instance whose
+    # pixel-box distance d to the mean satisfies d^2 > cull_r2 has
+    # alpha = op*exp(-q/2) <= op*exp(-d^2/(2*lambda1)) < 1/255 at EVERY pixel
+    # of the tile (q >= lambda_min(conic)*d^2 = d^2/lambda1), so the blend
+    # skips it per-pixel (`forward.cu:366`) and dropping the instance outright
+    # changes neither the render nor any gradient. The margin absorbs the f32
+    # rounding of the scatter-diff-cumsum expansion (binning.py), keeping the
+    # cull strictly conservative.
+
     point_image = jnp.stack(
         [ndc2pix(p_proj[:, 0], camera.width), ndc2pix(p_proj[:, 1], camera.height)],
         axis=-1,
@@ -219,6 +229,10 @@ def preprocess(
     tiles_touched = jnp.where(valid, tiles_touched, 0)
     radius = jnp.where(valid, radius, 0)
 
+    op_eff = opacities * h_conv_scaling
+    cull_r2 = 2.0 * lambda1 * jnp.log(jnp.maximum(op_eff * 255.0, 1e-12))
+    cull_r2 = cull_r2 + 4.0 + 0.0625 * jnp.abs(cull_r2)  # conservative margin
+
     return ScreenGaussians(
         mean2d=point_image,
         conic=conic,
@@ -226,6 +240,7 @@ def preprocess(
         rgb=rgb,
         depth=depth,
         radius=radius,
+        cull_r2=cull_r2,
         rect_min=jnp.stack([rmin_x, rmin_y], axis=-1),
         rect_max=jnp.stack([rmax_x, rmax_y], axis=-1),
         tiles_touched=tiles_touched,

@@ -84,7 +84,9 @@ def make_sharded_render(mesh: Mesh, settings: RenderSettings, width: int, height
                 [jnp.zeros((), jnp.float32), row0_px.astype(jnp.float32)]
             )
         )
-        bins = bin_gaussians(local, gx, gy_local, cap_local)
+        bins = bin_gaussians(
+            local, gx, gy_local, cap_local, settings.tile, settings.tight_cull
+        )
         if settings.backend == "pallas":
             from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
 

@@ -76,7 +76,9 @@ def render(
     gx, gy = grid_dims(camera, settings.tile)
 
     screen = preprocess(params, alive, camera, settings, gx, gy, mean2d_offset)
-    bins = bin_gaussians(screen, gx, gy, settings.instance_capacity)
+    bins = bin_gaussians(
+        screen, gx, gy, settings.instance_capacity, settings.tile, settings.tight_cull
+    )
 
     if settings.backend == "pallas":
         from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas

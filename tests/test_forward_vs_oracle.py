@@ -98,7 +98,12 @@ def test_binning_matches_oracle(rng):
     gx, gy = grid_dims(camera, settings.tile)
 
     screen = preprocess(params, alive, camera, settings, gx, gy)
-    bins = bin_gaussians(screen, gx, gy, settings.instance_capacity)
+    # tight_cull=False: this test checks the exact rect-based instance
+    # structure of the reference (`duplicateWithKeys`); the tight-cull
+    # mode's render/grad equivalence is covered by test_tight_cull_exact
+    bins = bin_gaussians(
+        screen, gx, gy, settings.instance_capacity, settings.tile, tight_cull=False
+    )
     oracle = render_oracle(
         **{k: sc[k] for k in (
             "xyz", "log_scaling", "rotation", "logit_opacity", "features",
@@ -163,3 +168,55 @@ def test_render_matches_oracle(rng, bg_val):
     np.testing.assert_allclose(
         np.asarray(out["final_t"]), oracle["final_t"], rtol=1e-3, atol=1e-4
     )
+
+
+def test_tight_cull_exact(rng):
+    """Tight culling must change NOTHING: the dropped (gaussian, tile)
+    instances have max alpha < 1/255 over their whole tile, which the
+    per-pixel blend skips anyway (`forward.cu:366`). Renders, invdepth and
+    every gradient must match the rect-binned path bitwise-close, while the
+    instance lists genuinely shrink."""
+    import jax
+
+    sc = make_test_scene(rng, n=4000)
+    params, camera, alive = scene_to_inputs(sc)
+    gx, gy = grid_dims(camera, 16)
+
+    outs = {}
+    grads = {}
+    counts = {}
+    for cull in (False, True):
+        settings = make_render_settings(
+            sh_degree=sc["sh_degree"], max_per_tile=1024, tight_cull=cull
+        )
+
+        def loss(p):
+            o = render(camera, p, alive, settings, jnp.zeros(3))
+            return (o["render"].sum() + o["invdepth"].sum()), o
+
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(params)
+        outs[cull] = o
+        grads[cull] = g
+        screen = preprocess(params, alive, camera, settings, gx, gy)
+        bins = bin_gaussians(
+            screen, gx, gy, settings.instance_capacity, 16, tight_cull=cull
+        )
+        counts[cull] = int(np.sum(np.asarray(bins.tile_end - bins.tile_start)))
+
+    assert counts[True] < counts[False], "tight cull should drop instances"
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["render"]), np.asarray(outs[False]["render"]),
+        rtol=0, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True]["invdepth"]), np.asarray(outs[False]["invdepth"]),
+        rtol=0, atol=1e-6,
+    )
+    # gradients: identical up to f32 reassociation (dropping zero-weight
+    # instances changes the summation order of the per-instance reduction)
+    for f in ("xyz", "scaling", "rotation", "opacity", "features_dc", "features_rest"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads[True], f)),
+            np.asarray(getattr(grads[False], f)),
+            rtol=1e-4, atol=1e-5, err_msg=f,
+        )
