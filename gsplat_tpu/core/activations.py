@@ -72,17 +72,33 @@ def covariance_from_scaling_rotation(scales, scale_modifier, quats):
     `strip_symmetric` (`utils/general_utils.py:64-76`). Equal to the CUDA
     `computeCov3D` result (`forward.cu:114-151`, which builds M = S R and
     Sigma = M^T M — the same matrix).
+
+    Written componentwise on (N,) columns: batched (N, 3, 3) matmuls tile to
+    (8, 128) per 3x3 on TPU (a ~100x memory blow-up) and dominate the whole
+    preprocess stage if expressed as einsum/@.
     """
-    L = build_scaling_rotation(scale_modifier * scales, quats)
-    sigma = L @ jnp.swapaxes(L, -1, -2)
-    return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
-        axis=-1,
-    )
+    q = normalize_rotation(quats)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    s = scale_modifier * scales
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+
+    # rows of R (reference `build_rotation` layout), columns scaled by s
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+
+    v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
+    # Sigma = R diag(s^2) R^T
+    sxx = v0 * r00 * r00 + v1 * r01 * r01 + v2 * r02 * r02
+    sxy = v0 * r00 * r10 + v1 * r01 * r11 + v2 * r02 * r12
+    sxz = v0 * r00 * r20 + v1 * r01 * r21 + v2 * r02 * r22
+    syy = v0 * r10 * r10 + v1 * r11 * r11 + v2 * r12 * r12
+    syz = v0 * r10 * r20 + v1 * r11 * r21 + v2 * r12 * r22
+    szz = v0 * r20 * r20 + v1 * r21 * r21 + v2 * r22 * r22
+    return jnp.stack([sxx, sxy, sxz, syy, syz, szz], axis=-1)

@@ -86,28 +86,35 @@ def compute_cov2d(p_view, focal_x, focal_y, tan_fovx, tan_fovy, cov3d, world_vie
     j02 = -focal_x * tx * inv_tz2
     j11 = focal_y * inv_tz
     j12 = -focal_y * ty * inv_tz2
-    zeros = jnp.zeros_like(j00)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], axis=-1),
-            jnp.stack([zeros, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
+
+    # Componentwise on (N,) columns — batched (N, 2, 3)/(N, 3, 3) einsums
+    # tile each tiny matrix to (8, 128) on TPU (~100x memory) and were the
+    # hottest part of preprocess. W rows are scalars (host constants).
+    w00, w01, w02 = W[0, 0], W[0, 1], W[0, 2]
+    w10, w11, w12 = W[1, 0], W[1, 1], W[1, 2]
+    w20, w21, w22 = W[2, 0], W[2, 1], W[2, 2]
+
+    # T = J @ W, rows t0 = j00*W0 + j02*W2, t1 = j11*W1 + j12*W2
+    t00 = j00 * w00 + j02 * w20
+    t01 = j00 * w01 + j02 * w21
+    t02 = j00 * w02 + j02 * w22
+    t10 = j11 * w10 + j12 * w20
+    t11 = j11 * w11 + j12 * w21
+    t12 = j11 * w12 + j12 * w22
 
     c0, c1, c2, c3, c4, c5 = (cov3d[:, i] for i in range(6))
-    Sigma = jnp.stack(
-        [
-            jnp.stack([c0, c1, c2], axis=-1),
-            jnp.stack([c1, c3, c4], axis=-1),
-            jnp.stack([c2, c4, c5], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 3, 3)
+    # u = Sigma @ t0, v = Sigma @ t1 (Sigma symmetric)
+    u0 = c0 * t00 + c1 * t01 + c2 * t02
+    u1 = c1 * t00 + c3 * t01 + c4 * t02
+    u2 = c2 * t00 + c4 * t01 + c5 * t02
+    v0 = c0 * t10 + c1 * t11 + c2 * t12
+    v1 = c1 * t10 + c3 * t11 + c4 * t12
+    v2 = c2 * t10 + c4 * t11 + c5 * t12
 
-    JW = jnp.einsum('nij,jk->nik', J, W, precision=HIGHEST)  # (N, 2, 3)
-    cov = jnp.einsum('nij,njk,nlk->nil', JW, Sigma, JW, precision=HIGHEST)  # (N, 2, 2)
-    return jnp.stack([cov[:, 0, 0], cov[:, 0, 1], cov[:, 1, 1]], axis=-1)
+    cov_xx = t00 * u0 + t01 * u1 + t02 * u2
+    cov_xy = t10 * u0 + t11 * u1 + t12 * u2
+    cov_yy = t10 * v0 + t11 * v1 + t12 * v2
+    return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
 
 
 def preprocess(
