@@ -10,6 +10,7 @@ tile it; degrees 0..3 are supported like the rasterizer (constants from
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -95,7 +96,8 @@ def eval_sh_color(degree: int, sh_coeffs, dirs):
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     k = num_sh_coeffs(degree)
     basis = sh_basis(degree, dirs)  # (N, k)
-    color = jnp.einsum("nk,nkc->nc", basis, sh_coeffs[:, :k, :]) + 0.5
+    color = jnp.einsum("nk,nkc->nc", basis, sh_coeffs[:, :k, :],
+                       precision=jax.lax.Precision.HIGHEST) + 0.5
     clamped = color < 0.0
     return jnp.maximum(color, 0.0), clamped
 

@@ -34,7 +34,11 @@ def mean_knn_sq_dist(points, k: int = 3, chunk: int = 2048):
 
     def one_chunk(chunk_pts):
         # d2[i, j] = |ci|^2 - 2 ci.pj + |pj|^2
-        cross = chunk_pts @ points.T  # (chunk, N) — MXU
+        cross = jnp.matmul(chunk_pts, points.T,
+                           precision=jax.lax.Precision.HIGHEST)  # (chunk, N)
+        # HIGHEST is required: |x|^2 - 2xy + |y|^2 cancels to ~1e-3 for near
+        # neighbors; TPU bf16 matmul noise (~3e-2) would swamp the result
+        # and corrupt every initial scale
         d2 = jnp.sum(chunk_pts * chunk_pts, axis=-1)[:, None] - 2.0 * cross + sq_norms[None, :]
         # k+1 smallest (the ~0 self-distance first) via iterative min
         # extraction: k+1 masked VPU reduces. NOT lax.top_k — that lowers to

@@ -133,7 +133,8 @@ def blend_tiles_jnp(
         w = alpha_eff * t_excl_raw  # (T, ppt, C)
 
         color = color + jnp.einsum(
-            "tpc,tcx->tpx", w, rgb, preferred_element_type=jnp.float32
+            "tpc,tcx->tpx", w, rgb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         invd = invd + jnp.sum(w * invz[:, None, :], axis=-1)
         t_raw = t_incl_raw[..., -1]

@@ -38,7 +38,8 @@ def mark_visible(positions, camera: Camera):
     matching `in_frustum` with its disabled xy-bounds check
     (`auxiliary.h:151-176`)."""
     p_view = (
-        jnp.einsum("nj,ij->ni", positions, camera.world_view[:3, :3])
+        jnp.einsum("nj,ij->ni", positions, camera.world_view[:3, :3],
+                   precision=jax.lax.Precision.HIGHEST)
         + camera.world_view[:3, 3]
     )
     return p_view[:, 2] > 0.2
@@ -103,7 +104,8 @@ def render(
     )
 
     if exposure is not None:
-        image = jnp.einsum("hwc,cd->hwd", image, exposure[:3, :3]) + exposure[:3, 3]
+        image = jnp.einsum("hwc,cd->hwd", image, exposure[:3, :3],
+                           precision=jax.lax.Precision.HIGHEST) + exposure[:3, 3]
 
     image = jnp.clip(image, 0.0, 1.0)
 

@@ -141,7 +141,8 @@ def densify_and_prune(
 
     def split_xyz(k):
         samples = jax.random.normal(k, (c, 3)) * scales  # N(0, diag(S))
-        return params.xyz + jnp.einsum("nij,nj->ni", R, samples)
+        return params.xyz + jnp.einsum("nij,nj->ni", R, samples,
+                                       precision=jax.lax.Precision.HIGHEST)
 
     split_scaling = act.scaling_inverse_activation(scales / (0.8 * 2.0))
 
