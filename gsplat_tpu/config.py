@@ -50,7 +50,10 @@ class PipelineConfig:
     antialiasing: bool = False
     debug: bool = False
     backend: str = "pallas"  # "jnp" | "pallas"
-    instance_capacity: int = 1 << 22
+    # 0 -> auto: probe the scene at startup and grow on demand (the TPU
+    # analogue of the reference's dynamic buffer resize,
+    # `rasterize_points.cu:27-33`). A positive value fixes the capacity.
+    instance_capacity: int = 0
     max_per_tile: int = 4096
     capacity: int = 0  # 0 -> auto from init point count
 

@@ -57,6 +57,43 @@ def _device_batch(cam, _cache={}):
     return _cache[key]
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(17, int(n - 1).bit_length())
+
+
+def probe_instance_capacity(params, alive, cams, settings_probe=None):
+    """Peak (gaussian, tile)-instance count over the training cameras.
+
+    Runs only the per-gaussian preprocess (no binning/blend) and sums
+    tiles_touched — exactly the count the instance buffer must hold
+    (capacity is checked pre-cull in `ops/binning.py`). Every capacity-
+    proportional stage of the step (instance sort, chunk gathers, the
+    backward segment reductions) is paid per compiled slot whether or not a
+    real instance fills it, so sizing the buffer to the scene instead of a
+    worst-case constant is a direct step-time win.
+    """
+    from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.ops.projection import preprocess
+
+    settings = settings_probe or make_render_settings(
+        sh_degree=0, instance_capacity=1, max_per_tile=1
+    )
+    fns = {}
+    peak = 0
+    for cam in cams:
+        key = (cam.camera.width, cam.camera.height)
+        if key not in fns:
+            gx = (key[0] + settings.tile - 1) // settings.tile
+            gy = (key[1] + settings.tile - 1) // settings.tile
+            fns[key] = jax.jit(
+                lambda p, a, c, gx=gx, gy=gy: preprocess(
+                    p, a, c, settings, gx, gy
+                ).tiles_touched.sum()
+            )
+        peak = max(peak, int(fns[key](params, alive, cam.camera)))
+    return peak
+
+
 def save_checkpoint(path, state, iteration):
     host_state = jax.tree.map(np.asarray, state)
     with open(path, "wb") as f:
@@ -142,11 +179,19 @@ def train(
     bg_color = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
     use_exposure = model_cfg.train_test_exp
 
+    auto_cap = pipe.instance_capacity == 0
+    if auto_cap:
+        peak = probe_instance_capacity(params, alive, train_cams)
+        inst_cap = _next_pow2(2 * max(peak, 1))
+        print(f"[auto] instance capacity {inst_cap} (probe peak {peak})")
+    else:
+        inst_cap = pipe.instance_capacity
+
     def settings_for(active_sh):
         return make_render_settings(
             sh_degree=active_sh,
             tile=16,
-            instance_capacity=pipe.instance_capacity,
+            instance_capacity=inst_cap,
             max_per_tile=pipe.max_per_tile,
             antialiasing=pipe.antialiasing,
             backend=pipe.backend,
@@ -155,11 +200,12 @@ def train(
     step_cache = {}
 
     def step_fn(active_sh):
-        if active_sh not in step_cache:
-            step_cache[active_sh] = make_train_step(
+        key = (active_sh, inst_cap)
+        if key not in step_cache:
+            step_cache[key] = make_train_step(
                 opt, settings_for(active_sh), use_exposure=use_exposure
             )
-        return step_cache[active_sh]
+        return step_cache[key]
 
     densify_step = make_densify_step(opt)
 
@@ -174,6 +220,7 @@ def train(
 
     rng = random.Random(0)
     np_rng = np.random.default_rng(0)
+    cap_peak, cap_logs = 0, 0
     viewpoint_stack = []
     ema_loss = 0.0
     ema_depth = 0.0
@@ -242,10 +289,39 @@ def train(
                     f"({(time.time()-t0):.1f}s)",
                     flush=True,
                 )
-            if int(metrics["instance_overflow"]) > 0:
+            overflow = int(metrics["instance_overflow"])
+            if auto_cap:
+                # grow BEFORE hard overflow: densification raises the
+                # instance count between probes, and at >70% utilization the
+                # next densify round can overshoot. Overflow itself only
+                # drops the farthest instances for a few iterations (until
+                # this log-gated sync sees it), but don't let it linger.
+                n_inst = int(metrics["num_instances"])
+                cap_peak = max(cap_peak, n_inst)
+                cap_logs += 1
+                if overflow > 0 or n_inst > 0.7 * inst_cap:
+                    inst_cap = _next_pow2(max(2 * n_inst, 2 * inst_cap))
+                    cap_peak, cap_logs = 0, 0
+                    print(
+                        f"[auto] it {iteration}: instances {n_inst} "
+                        f"(overflow {overflow}) — growing capacity to {inst_cap}"
+                    )
+                elif cap_logs >= 50 and _next_pow2(2 * cap_peak) <= inst_cap // 4:
+                    # the early prune (opacity < 0.005 from densify_from_iter)
+                    # collapses the instance count; every capacity-
+                    # proportional stage then pays 4x+ for dead slots. Shrink
+                    # only on a sustained >=4x gap — a recompile costs far
+                    # more than a 2x misfit.
+                    inst_cap = _next_pow2(2 * cap_peak)
+                    print(
+                        f"[auto] it {iteration}: recent instance peak "
+                        f"{cap_peak} — shrinking capacity to {inst_cap}"
+                    )
+                    cap_peak, cap_logs = 0, 0
+            elif overflow > 0:
                 print(
                     f"WARNING it {iteration}: instance buffer overflow "
-                    f"{int(metrics['instance_overflow'])} — raise pipe.instance_capacity",
+                    f"{overflow} — raise pipe.instance_capacity",
                     file=sys.stderr,
                 )
         t_iter = time.time()
@@ -278,4 +354,5 @@ def train(
     if tb is not None:
         tb.close()
     results["wall_s"] = time.time() - t0
+    results["instance_capacity"] = inst_cap
     return state, scene, results

@@ -82,3 +82,51 @@ def test_train_loop_end_to_end(mini_blender, tmp_path):
     )
     assert os.path.exists(os.path.join(model_cfg.model_path, "exposure.json"))
     assert os.path.exists(os.path.join(model_cfg.model_path, "cameras.json"))
+
+
+def test_auto_instance_capacity_probe_and_growth(mini_blender, monkeypatch):
+    """instance_capacity=0 probes the scene, then grows on overflow.
+
+    The probe is forced to lie (peak=1) so the first compiled step overflows
+    immediately and the growth/recompile path must fire for training to
+    recover full instance coverage.
+    """
+    import gsplat_tpu.train.loop as loop_mod
+    import gsplat_tpu.data.readers as readers
+
+    monkeypatch.setattr(loop_mod, "probe_instance_capacity", lambda *a, **k: 1)
+    monkeypatch.setattr(
+        loop_mod, "_next_pow2", lambda n: 1 << max(8, int(n - 1).bit_length())
+    )
+
+    orig = readers.read_blender_scene_info
+
+    def small_scene(path, **kw):
+        info = orig(path, **kw)
+        rng = np.random.default_rng(0)
+        n = 512
+        info.points = (rng.random((n, 3)) * 2.6 - 1.3).astype(np.float32)
+        info.colors = rng.random((n, 3)).astype(np.float32)
+        info.normals = np.zeros((n, 3), np.float32)
+        return info
+
+    monkeypatch.setattr(readers, "read_blender_scene_info", small_scene)
+    readers.read_scene_info.__globals__["read_blender_scene_info"] = small_scene
+    try:
+        model_cfg = ModelConfig(source_path=mini_blender, sh_degree=1, eval=True)
+        opt = OptimizationConfig(iterations=8, densify_from_iter=100)
+        pipe = PipelineConfig(
+            backend="jnp", instance_capacity=0, max_per_tile=256, capacity=4096
+        )
+        state, scene, results = loop_mod.train(
+            model_cfg, opt, pipe, testing_iterations=(8,), saving_iterations=(),
+            quiet=True, log_every=1,
+        )
+    finally:
+        readers.read_scene_info.__globals__["read_blender_scene_info"] = orig
+
+    ev = results["test"][8]
+    assert np.isfinite(ev["psnr"])
+    # growth must have fired: 512 gaussians on a 48x48 grid emit far more
+    # than the forced initial 256-slot capacity
+    assert results.get("instance_capacity", 0) > 256
