@@ -57,41 +57,8 @@ def _device_batch(cam, _cache={}):
     return _cache[key]
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(17, int(n - 1).bit_length())
-
-
-def probe_instance_capacity(params, alive, cams, settings_probe=None):
-    """Peak (gaussian, tile)-instance count over the training cameras.
-
-    Runs only the per-gaussian preprocess (no binning/blend) and sums
-    tiles_touched — exactly the count the instance buffer must hold
-    (capacity is checked pre-cull in `ops/binning.py`). Every capacity-
-    proportional stage of the step (instance sort, chunk gathers, the
-    backward segment reductions) is paid per compiled slot whether or not a
-    real instance fills it, so sizing the buffer to the scene instead of a
-    worst-case constant is a direct step-time win.
-    """
-    from gsplat_tpu.core.types import make_render_settings
-    from gsplat_tpu.ops.projection import preprocess
-
-    settings = settings_probe or make_render_settings(
-        sh_degree=0, instance_capacity=1, max_per_tile=1
-    )
-    fns = {}
-    peak = 0
-    for cam in cams:
-        key = (cam.camera.width, cam.camera.height)
-        if key not in fns:
-            gx = (key[0] + settings.tile - 1) // settings.tile
-            gy = (key[1] + settings.tile - 1) // settings.tile
-            fns[key] = jax.jit(
-                lambda p, a, c, gx=gx, gy=gy: preprocess(
-                    p, a, c, settings, gx, gy
-                ).tiles_touched.sum()
-            )
-        peak = max(peak, int(fns[key](params, alive, cam.camera)))
-    return peak
+from gsplat_tpu.capacity import next_pow2 as _next_pow2
+from gsplat_tpu.capacity import probe_instance_capacity
 
 
 def save_checkpoint(path, state, iteration):

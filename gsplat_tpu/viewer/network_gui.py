@@ -136,7 +136,10 @@ class NetworkGUI:
 
         settings = make_render_settings(
             sh_degree=model_cfg.sh_degree,
-            instance_capacity=pipe_cfg.instance_capacity,
+            # GUI cameras are user-driven, so there is nothing to probe ahead
+            # of time — fall back to a generous fixed capacity under the
+            # auto (0) config
+            instance_capacity=pipe_cfg.instance_capacity or (1 << 21),
             max_per_tile=pipe_cfg.max_per_tile,
             antialiasing=pipe_cfg.antialiasing,
             backend=pipe_cfg.backend,

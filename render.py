@@ -96,9 +96,14 @@ def main(argv=None):
         train_test_exp=model_cfg.train_test_exp,
         shuffle=False,
     )
+    from gsplat_tpu.capacity import resolve_instance_capacity
+
+    probe_cams = scene.get_train_cameras() + scene.get_test_cameras()
     settings = make_render_settings(
         sh_degree=model_cfg.sh_degree,
-        instance_capacity=pipe_cfg.instance_capacity,
+        instance_capacity=resolve_instance_capacity(
+            pipe_cfg.instance_capacity, params, alive, probe_cams
+        ),
         max_per_tile=pipe_cfg.max_per_tile,
         antialiasing=pipe_cfg.antialiasing,
         backend=pipe_cfg.backend,
