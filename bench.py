@@ -33,8 +33,18 @@ def main():
     n = 262_144
     params, alive, camera = _tiny_scene(n=n, width=width, height=height, sh_degree=3, capacity=n)
 
+    # right-size the instance buffer to the scene (capacity-proportional
+    # stages — instance sort, chunk gathers, pack row-gather, the backward
+    # segment reduction — pay per compiled slot, not per real instance)
+    from gsplat_tpu.capacity import next_pow2, probe_instance_capacity
+
+    cam_holder = type("CamHolder", (), {"camera": camera})
+    peak = probe_instance_capacity(params, alive, [cam_holder])
     settings = make_render_settings(
-        sh_degree=3, max_per_tile=2048, instance_capacity=1 << 21, backend="pallas"
+        sh_degree=3,
+        max_per_tile=2048,
+        instance_capacity=next_pow2(int(1.25 * peak)),
+        backend="pallas",
     )
 
     def loss_fn(params, alive):

@@ -72,3 +72,24 @@ def test_depth_l1_masks(rng):
     got = float(losses.depth_l1_loss(jnp.asarray(d), jnp.asarray(gt), jnp.asarray(mask)))
     want = (np.abs(d - gt) * mask).mean()
     assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_ssim_custom_vjp_matches_autodiff(rng):
+    """The hand-derived SSIM backward must equal autodiff of the plain
+    formula (trusted on CPU; the custom VJP exists because the AD graph
+    miscompiles on the TPU backend, not because the math differs)."""
+    import jax
+    from functools import partial
+
+    a = rng.random((23, 31, 3)).astype(np.float32)
+    b = np.clip(a + 0.2 * rng.standard_normal((23, 31, 3)).astype(np.float32), 0, 1)
+
+    def plain_ssim(x, y):
+        window = losses._gaussian_window(11, 1.5)
+        blur = partial(losses._blur, window=window)
+        return losses._ssim_map(*losses._ssim_fields(x, y, blur)).mean()
+
+    gx_ref, gy_ref = jax.grad(plain_ssim, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    gx, gy = jax.grad(losses.ssim, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), rtol=1e-4, atol=1e-7)
