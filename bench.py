@@ -36,14 +36,15 @@ def main():
     # right-size the instance buffer to the scene (capacity-proportional
     # stages — instance sort, chunk gathers, pack row-gather, the backward
     # segment reduction — pay per compiled slot, not per real instance)
-    from gsplat_tpu.capacity import next_pow2, probe_instance_capacity
+    from gsplat_tpu.capacity import probe_instance_capacity, round128
 
     cam_holder = type("CamHolder", (), {"camera": camera})
     peak = probe_instance_capacity(params, alive, [cam_holder])
     settings = make_render_settings(
         sh_degree=3,
         max_per_tile=2048,
-        instance_capacity=next_pow2(int(1.25 * peak)),
+        # the probe is exact for this fixed camera, so size to it exactly
+        instance_capacity=round128(peak),
         backend="pallas",
     )
 

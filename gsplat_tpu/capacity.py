@@ -19,6 +19,13 @@ def next_pow2(n: int) -> int:
     return 1 << max(17, int(n - 1).bit_length())
 
 
+def round128(n: int) -> int:
+    """Smallest multiple of 128 >= n — exact sizing for a fixed camera set
+    (every capacity-proportional pass pays ~17ns/row, so prefer this over
+    next_pow2 whenever recompiles are not a concern)."""
+    return max(128, (int(n) + 127) // 128 * 128)
+
+
 def probe_instance_capacity(params, alive, cams, settings_probe=None):
     """Peak (gaussian, tile)-instance count over the given cameras.
 

@@ -173,68 +173,3 @@ def bin_gaussians(
         num_instances=total,
         overflow=jnp.maximum(total - capacity, 0),
     )
-
-
-@pytree_dataclass
-class AlignedBins:
-    """Per-tile instance segments padded to 128-aligned starts.
-
-    The Pallas blend kernel streams each tile's instances with HBM->VMEM DMA,
-    and Mosaic requires lane offsets divisible by the 128 tiling — the TPU
-    analogue of the CUDA kernel's fixed BLOCK_SIZE=256 shared-memory batches
-    (`forward.cu:313-342`). Segment tails are padding; `count` holds the true
-    per-tile instance count and the kernel masks the tail lanes.
-    """
-
-    gauss_id: jax.Array  # (Kp,) int32 gaussian index per padded slot (0 in gaps)
-    pad_start: jax.Array  # (T,) int32 128-aligned segment starts
-    count: jax.Array  # (T,) int32 true instances per tile
-    valid: jax.Array  # (Kp,) bool — slot holds a real instance
-
-
-def align_tile_segments(bins: TileBins, num_tiles: int, chunk: int = 128) -> AlignedBins:
-    """Re-lay the sorted instance list into 128-aligned per-tile segments.
-
-    Scatter-free on the data path: each padded slot locates its (tile, rank)
-    with a scatter+cumsum tile table, then gathers from the sorted list.
-    Capacity of the padded buffer is static:
-    instance_capacity + chunk * num_tiles (worst-case tail padding).
-    """
-    k = bins.gauss_id.shape[0]
-    count = bins.tile_end - bins.tile_start  # (T,)
-    nchunks = (count + chunk - 1) // chunk  # (T,) chunks per tile
-    coff_incl = jnp.cumsum(nchunks)  # inclusive, in chunk units
-    chunk_start = coff_incl - nchunks  # exclusive prefix
-    total_chunks = coff_incl[num_tiles - 1]
-
-    # Everything below runs at CHUNK granularity (Kc = Kp/chunk ~ 40k at
-    # 1080p) except one row-contiguous gather — per-slot rank tables and
-    # column gathers at Kp scale serialize on TPU (see bin_gaussians).
-    kc = (k + chunk - 1) // chunk + num_tiles
-    cidx = jnp.arange(kc, dtype=jnp.int32)
-    c_of = jnp.minimum(_rank_table(chunk_start, kc) - 1, num_tiles - 1)  # (Kc,)
-    packed = jnp.stack([chunk_start, bins.tile_start, count], axis=1)  # (T, 3)
-    rows = packed[c_of]  # (Kc, 3) small row-gather
-    r_chunk = cidx - rows[:, 0]  # chunk rank within its tile
-    src0 = rows[:, 1] + r_chunk * chunk  # source offset in the sorted list
-    rem = rows[:, 2] - r_chunk * chunk  # true instances left in this chunk
-
-    lane = jnp.arange(chunk, dtype=jnp.int32)
-    # slice-shaped gather (gather with slice_sizes=(chunk,)): Kc slices of
-    # `chunk` contiguous elements — NOT a (Kc, chunk) index gather, which
-    # XLA:TPU executes as Kc*chunk independent scalar gathers (~17ns each)
-    ga_pad = jnp.pad(bins.gauss_id, (0, chunk))  # keeps tail slices in-bounds
-    # (dynamic_slice clamps out-of-range starts, which would shift the
-    # lane <-> instance correspondence for the last real chunk)
-    gid2d = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(ga_pad, (jnp.maximum(s, 0),), (chunk,))
-    )(src0)  # (Kc, chunk)
-    valid2d = (lane[None, :] < rem[:, None]) & (cidx < total_chunks)[:, None]
-    gid2d = jnp.where(valid2d, gid2d, 0)
-
-    return AlignedBins(
-        gauss_id=gid2d.reshape(-1),
-        pad_start=chunk_start * chunk,
-        count=count,
-        valid=valid2d.reshape(-1),
-    )

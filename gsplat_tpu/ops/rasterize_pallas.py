@@ -6,9 +6,14 @@ cooperative 256-wide shared-memory staging, per-pixel sequential walk with
 early exit — becomes, per tile (one pallas grid step):
 
 - pixels live on the 256 sublanes, gaussians on the 128 lanes of the VPU;
-- the tile's sorted instance range is streamed from HBM in 128-instance
-  packets with double-buffered async DMA (the VMEM analogue of the CUDA
-  shared-memory staging loop / GS-IRON's depth-2 ObjectFifos);
+- the tile's sorted instance range [start, end) is streamed from HBM in
+  128-instance packets with double-buffered async DMA (the VMEM analogue of
+  the CUDA shared-memory staging loop / GS-IRON's depth-2 ObjectFifos).
+  Packets are 128-ALIGNED WINDOWS of the unaligned sorted instance buffer —
+  the kernel masks head lanes (< start) and tail lanes (>= end) instead of
+  re-laying the instances into aligned per-tile segments, because every
+  capacity-proportional pass (the pack row-gather, the backward scatter)
+  pays ~17ns/row and alignment padding inflated the buffer by a third;
 - the transmittance recurrence T_{j+1} = T_j (1 - a_j) runs in log space as a
   (256,128)x(128,128) triangular matmul on the MXU (a cumsum replaces the
   serial dependency), and color accumulation is a (256,128)x(128,4) matmul;
@@ -20,7 +25,11 @@ early exit — becomes, per tile (one pallas grid step):
   algebraically-identical suffix sum S_total - prefix (computed with the same
   triangular matmul), and writes *per-instance* gradients; the scatter-add
   into per-gaussian gradients (CUDA atomicAdd, `backward.cu:593-635`) becomes
-  a sorted `segment_sum` outside the kernel.
+  a sorted `segment_sum` outside the kernel. A window chunk shared between
+  two adjacent tiles (a tile whose range starts mid-chunk) is accumulated
+  read-modify-write: the TPU executes grid steps sequentially on one core
+  and each invocation drains its gradient-write DMAs before returning, so
+  the later tile's read is ordered after the earlier tile's write.
 
 Instance data is gathered once outside the kernel into two HBM-resident
 arrays: `inst_t` (16, K) — rows [mx, my, conic_a, conic_b, conic_c, opacity,
@@ -39,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.core.types import pytree_dataclass
-from gsplat_tpu.ops.binning import TileBins, align_tile_segments
+from gsplat_tpu.ops.binning import TileBins
 from gsplat_tpu.ops.projection import ScreenGaussians
 from gsplat_tpu.ops.rasterize_jnp import ALPHA_MAX, ALPHA_MIN, T_EPS, BlendOutput
 
@@ -89,8 +98,12 @@ def _pixel_coords(tile_idx, grid_x, tile):
     return px, py
 
 
-def _chunk_blend(blk, px, py, t_raw, remaining):
-    """Shared fwd/bwd per-chunk math. Returns dict of (256,128) quantities."""
+def _chunk_blend(blk, px, py, t_raw, lo, hi):
+    """Shared fwd/bwd per-chunk math. Returns dict of (256,128) quantities.
+
+    `lo`/`hi` bound the valid lanes of this 128-aligned window chunk: lanes
+    < lo belong to the previous tile's range, lanes >= hi to the next one's
+    (or padding); both blend as alpha = 0."""
     blk = blk.astype(jnp.float32)  # no-op for f32 packets; upcast for bf16
     mx = blk[_ROW_MX : _ROW_MX + 1, :]
     my = blk[_ROW_MY : _ROW_MY + 1, :]
@@ -103,7 +116,7 @@ def _chunk_blend(blk, px, py, t_raw, remaining):
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
-    valid = lane < remaining
+    valid = (lane >= lo) & (lane < hi)
     g = jnp.exp(power)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
@@ -136,19 +149,20 @@ def _chunk_blend(blk, px, py, t_raw, remaining):
 # ----------------------------------------------------------------------------
 
 
-def _fwd_kernel(grid_x, tile, start_ref, count_ref, inst_ref, out_ref, scr, sems):
+def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems):
     # instance packets may be bf16 (half the DMA traffic, the GS-IRON bf16
     # ladder analogue); all blend math runs f32
     t = pl.program_id(0)
-    start = start_ref[t]
-    n = count_ref[t]
-    nch = pl.cdiv(n, CHUNK)
+    s = start_ref[t]
+    e = end_ref[t]
+    base = s // CHUNK  # first 128-aligned window chunk covering [s, e)
+    nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
     px, py = _pixel_coords(t, grid_x, tile)
 
     def get_dma(slot, ci):
-        # segment starts are 128-aligned (align_tile_segments), which Mosaic
+        # window offsets are 128-aligned by construction, which Mosaic
         # needs to prove lane-tiling divisibility of the DMA offset
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+        off = pl.multiple_of((base + ci) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[slot], sems.at[slot]
         )
@@ -167,7 +181,8 @@ def _fwd_kernel(grid_x, tile, start_ref, count_ref, inst_ref, out_ref, scr, sems
 
         get_dma(slot, ci).wait()
         blk = scr[slot].astype(jnp.float32)  # (16, 128)
-        q = _chunk_blend(blk, px, py, t_raw, n - ci * CHUNK)
+        woff = (base + ci) * CHUNK
+        q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
         accum = accum + jax.lax.dot_general(
@@ -191,7 +206,7 @@ def _fwd_kernel(grid_x, tile, start_ref, count_ref, inst_ref, out_ref, scr, sems
     out_ref[0, :, 5:8] = jnp.zeros((PPT, 3), jnp.float32)
 
 
-def _run_forward(inst_t, pad_start, count, grid_x, grid_y, tile):
+def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
     num_tiles = grid_x * grid_y
     kernel = functools.partial(_fwd_kernel, grid_x, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -210,7 +225,7 @@ def _run_forward(inst_t, pad_start, count, grid_x, grid_y, tile):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PPT, 8), jnp.float32),
-    )(pad_start, count, inst_t)
+    )(tile_start, tile_end, inst_t)
 
 
 # ----------------------------------------------------------------------------
@@ -219,13 +234,19 @@ def _run_forward(inst_t, pad_start, count, grid_x, grid_y, tile):
 
 
 def _bwd_kernel(
-    grid_x, tile, start_ref, count_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
-    scr, grad_scr, sems, out_sems,
+    grid_x, tile, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
+    scr, grad_scr, old_scr, sems, old_sem, out_sems,
 ):
     t = pl.program_id(0)
-    start = start_ref[t]
-    n = count_ref[t]
-    nch = pl.cdiv(n, CHUNK)
+    s = start_ref[t]
+    e = end_ref[t]
+    base = s // CHUNK
+    nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
+    # a range starting mid-chunk shares its first window chunk with the
+    # previous tile's last one: accumulate into the already-written grads
+    # (read-modify-write; grid steps are sequential and each invocation
+    # drains its writes, so the prior tile's write ordered before our read)
+    is_rmw = (s % CHUNK) != 0
     px, py = _pixel_coords(t, grid_x, tile)
 
     dpix = dout_ref[0, :, 0:4]  # (256,4) cotangents of [r,g,b,invdepth]
@@ -236,7 +257,7 @@ def _bwd_kernel(
     bgdot = d_tfinal * t_final  # background/final-T coupling term
 
     def get_dma(slot, ci):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+        off = pl.multiple_of((base + ci) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[slot], sems.at[slot]
         )
@@ -244,6 +265,14 @@ def _bwd_kernel(
     @pl.when(nch > 0)
     def _():
         get_dma(0, 0).start()
+
+        @pl.when(is_rmw)
+        def _():
+            pltpu.make_async_copy(
+                dinst_ref.at[:, pl.ds(pl.multiple_of(base * CHUNK, CHUNK), CHUNK)],
+                old_scr,
+                old_sem,
+            ).start()
 
     def body(ci, carry):
         t_raw, prefix = carry
@@ -258,13 +287,24 @@ def _bwd_kernel(
         def _():
             pltpu.make_async_copy(
                 grad_scr.at[slot],
-                dinst_ref.at[:, pl.ds(pl.multiple_of(start + (ci - 2) * CHUNK, CHUNK), CHUNK)],
+                dinst_ref.at[:, pl.ds(pl.multiple_of((base + ci - 2) * CHUNK, CHUNK), CHUNK)],
                 out_sems.at[slot],
+            ).wait()
+
+        rmw_this = (ci == 0) & is_rmw
+
+        @pl.when(rmw_this)
+        def _():
+            pltpu.make_async_copy(
+                dinst_ref.at[:, pl.ds(pl.multiple_of(base * CHUNK, CHUNK), CHUNK)],
+                old_scr,
+                old_sem,
             ).wait()
 
         get_dma(slot, ci).wait()
         blk = scr[slot].astype(jnp.float32)
-        q = _chunk_blend(blk, px, py, t_raw, n - ci * CHUNK)
+        woff = (base + ci) * CHUNK
+        q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
         # c_{p,j} = sum_ch feat_{ch,j} * dpix_{p,ch}
@@ -307,10 +347,13 @@ def _bwd_kernel(
             dpix, q["w"], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (4,128): d r, d g, d b, d invz
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
-        grad_scr[slot] = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
+        grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
+        # old_scr holds the previous tile's grads for a shared chunk (NaN-safe:
+        # where() selects, never reads through, on the untaken branch)
+        grad_scr[slot] = jnp.where(rmw_this, grads + old_scr[...], grads)
         pltpu.make_async_copy(
             grad_scr.at[slot],
-            dinst_ref.at[:, pl.ds(pl.multiple_of(start + ci * CHUNK, CHUNK), CHUNK)],
+            dinst_ref.at[:, pl.ds(pl.multiple_of((base + ci) * CHUNK, CHUNK), CHUNK)],
             out_sems.at[slot],
         ).start()
 
@@ -320,13 +363,15 @@ def _bwd_kernel(
         0, nch, body,
         (jnp.ones((PPT, 1), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
     )
-    # drain the last (up to) two in-flight gradient writes
+    # drain the last (up to) two in-flight gradient writes — MUST complete
+    # before this invocation returns: the next tile may read-modify-write
+    # the shared boundary chunk
     def drain(ci, _):
         @pl.when(ci >= jnp.maximum(nch - 2, 0))
         def _():
             pltpu.make_async_copy(
                 grad_scr.at[ci % 2],
-                dinst_ref.at[:, pl.ds(pl.multiple_of(start + ci * CHUNK, CHUNK), CHUNK)],
+                dinst_ref.at[:, pl.ds(pl.multiple_of((base + ci) * CHUNK, CHUNK), CHUNK)],
                 out_sems.at[ci % 2],
             ).wait()
         return 0
@@ -334,7 +379,7 @@ def _bwd_kernel(
     jax.lax.fori_loop(jnp.maximum(nch - 2, 0), nch, drain, 0)
 
 
-def _run_backward(inst_t, pad_start, count, fwd_out, dout, grid_x, grid_y, tile):
+def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile):
     num_tiles = grid_x * grid_y
     k_pad = inst_t.shape[1]
     kernel = functools.partial(_bwd_kernel, grid_x, tile)
@@ -350,7 +395,9 @@ def _run_backward(inst_t, pad_start, count, fwd_out, dout, grid_x, grid_y, tile)
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
             pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),  # grads stay f32
+            pltpu.VMEM((N_ROWS, CHUNK), jnp.float32),  # shared-chunk old grads
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -359,7 +406,7 @@ def _run_backward(inst_t, pad_start, count, fwd_out, dout, grid_x, grid_y, tile)
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N_ROWS, k_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(pad_start, count, inst_t, fwd_out, dout)
+    )(tile_start, tile_end, inst_t, fwd_out, dout)
 
 
 # ----------------------------------------------------------------------------
@@ -380,14 +427,15 @@ def blend_tiles_pallas(
     assert tile * tile == PPT, "pallas blend kernel is built for 16x16 tiles"
     pack_dtype = packet_dtype
     num_tiles = grid_x * grid_y
-    abins = align_tile_segments(bins, num_tiles, CHUNK)
-    k = abins.gauss_id.shape[0]
+    k = bins.gauss_id.shape[0]  # == instance capacity
     k_pad = _round_up(k, CHUNK)
 
-    gauss_id = abins.gauss_id
-    pad_start = abins.pad_start
-    count = abins.count
-    slot_valid = abins.valid
+    gauss_id = bins.gauss_id
+    tile_start = bins.tile_start
+    tile_end = bins.tile_end
+    # instances tight-culled in binning carry tile_id == num_tiles and sort
+    # to the tail, outside every tile's [start, end) window
+    slot_valid = bins.tile_id < num_tiles
     inv_depth_all = 1.0 / jnp.maximum(screen.depth, 0.2)
 
     def pack(mean2d, conic, opacity, rgb, invz):
@@ -411,17 +459,17 @@ def blend_tiles_pallas(
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz):
         inst_t = pack(mean2d, conic, opacity, rgb, invz)
-        return _run_forward(inst_t, pad_start, count, grid_x, grid_y, tile)
+        return _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
 
     def blend_fwd(mean2d, conic, opacity, rgb, invz):
         inst_t = pack(mean2d, conic, opacity, rgb, invz)
-        out = _run_forward(inst_t, pad_start, count, grid_x, grid_y, tile)
+        out = _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
         return out, (inst_t, out)
 
     def blend_bwd(res, dout):
         inst_t, fwd_out = res
         dinst = _run_backward(
-            inst_t, pad_start, count, fwd_out, dout, grid_x, grid_y, tile
+            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
         )  # (16, K_pad)
         # mask padding slots and any segment tail garbage before reduction
         dinst = jnp.where(slot_valid[None, :], dinst[:, :k], 0.0)

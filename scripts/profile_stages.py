@@ -29,7 +29,7 @@ def timeit(fn, *args, iters=5, warmup=1):
 def main():
     from __graft_entry__ import _tiny_scene
     from gsplat_tpu.core.types import make_render_settings
-    from gsplat_tpu.ops.binning import align_tile_segments, bin_gaussians
+    from gsplat_tpu.ops.binning import bin_gaussians
     from gsplat_tpu.ops.projection import preprocess
     from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
     from gsplat_tpu.render import grid_dims, render
@@ -49,13 +49,9 @@ def main():
     t, bins = timeit(bins_f, screen)
     print(f"binning (sort)       {t*1e3:8.2f} ms   instances={int(bins.num_instances)} overflow={int(bins.overflow)}")
 
-    align_f = jax.jit(lambda b: align_tile_segments(b, gx * gy))
-    t, abins = timeit(align_f, bins)
-    print(f"align segments       {t*1e3:8.2f} ms")
-
     fwd = jax.jit(lambda s, b: blend_tiles_pallas(s, b, gx, gy, settings.tile))
     t, _ = timeit(fwd, screen, bins)
-    print(f"blend fwd (incl align+pack) {t*1e3:8.2f} ms")
+    print(f"blend fwd (incl pack)       {t*1e3:8.2f} ms")
 
     full_f = jax.jit(lambda p, a: render(camera, p, a, settings, jnp.zeros(3))["render"].mean())
     t, _ = timeit(full_f, params, alive)

@@ -16,7 +16,7 @@ from jax.experimental import pallas as pl
 
 import gsplat_tpu.ops.rasterize_pallas as rp
 from gsplat_tpu.core.types import make_render_settings
-from gsplat_tpu.ops.binning import align_tile_segments, bin_gaussians
+from gsplat_tpu.ops.binning import bin_gaussians
 from gsplat_tpu.ops.projection import preprocess
 from gsplat_tpu.ops.rasterize_jnp import blend_tiles_jnp
 from gsplat_tpu.render import grid_dims
@@ -51,26 +51,6 @@ def build(n=600, width=96, height=80, sh_degree=1, seed=3):
     screen = preprocess(params, alive, camera, settings, gx, gy)
     bins = bin_gaussians(screen, gx, gy, settings.instance_capacity)
     return screen, bins, gx, gy
-
-
-def test_align_tile_segments_preserves_order():
-    screen, bins, gx, gy = build()
-    ab = align_tile_segments(bins, gx * gy, 128)
-    start = np.asarray(bins.tile_start)
-    end = np.asarray(bins.tile_end)
-    ps = np.asarray(ab.pad_start)
-    cnt = np.asarray(ab.count)
-    gid = np.asarray(ab.gauss_id)
-    valid = np.asarray(ab.valid)
-    np.testing.assert_array_equal(cnt, end - start)
-    assert np.all(ps % 128 == 0)
-    ref = np.asarray(bins.gauss_id)
-    for t in range(gx * gy):
-        seg = gid[ps[t] : ps[t] + cnt[t]]
-        np.testing.assert_array_equal(seg, ref[start[t] : end[t]])
-        assert valid[ps[t] : ps[t] + cnt[t]].all()
-        tail = valid[ps[t] + cnt[t] : ps[t] + (cnt[t] + 127) // 128 * 128]
-        assert not tail.any()
 
 
 def test_forward_matches_jnp():
