@@ -26,10 +26,13 @@ early exit — becomes, per tile (one pallas grid step):
   triangular matmul), and writes *per-instance* gradients; the scatter-add
   into per-gaussian gradients (CUDA atomicAdd, `backward.cu:593-635`) becomes
   a sorted `segment_sum` outside the kernel. A window chunk shared between
-  two adjacent tiles (a tile whose range starts mid-chunk) is accumulated
-  read-modify-write: the TPU executes grid steps sequentially on one core
-  and each invocation drains its gradient-write DMAs before returning, so
-  the later tile's read is ordered after the earlier tile's write.
+  two adjacent tiles (a range ending mid-chunk) is handed to the next tile
+  as a VMEM carry and written once by its last contributor;
+- because tile ranges are contiguous, both kernels stream the instance
+  buffer as ONE global in-order chunk sequence whose DMA state (SMEM
+  cursors) persists across grid invocations — each tile's first chunk is
+  already in flight (or resident, when shared) when its invocation starts,
+  removing a cold-DMA bubble per tile.
 
 Instance data is gathered once outside the kernel into two HBM-resident
 arrays: `inst_t` (16, K) — rows [mx, my, conic_a, conic_b, conic_c, opacity,
@@ -149,39 +152,76 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
 # ----------------------------------------------------------------------------
 
 
-def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems):
+def _read_protocol(inst_ref, scr, sems, cur, nctotal):
+    """Cross-invocation streaming reads of the instance buffer.
+
+    Tile ranges are contiguous, so the union of all tiles' window chunks is
+    simply chunks [0, nctotal) of `inst_ref`, consumed in order. Two SMEM
+    cursors persist across grid steps: cur[0] = first chunk not yet waited
+    (chunks below it are resident in their g%2 slot or already consumed),
+    cur[1] = first chunk not yet issued. Keeping the stream global removes
+    the cold-DMA bubble every tile otherwise pays on its first chunk
+    (~1us x num_tiles), and a boundary chunk shared by two tiles is fetched
+    ONCE and re-read from VMEM by the second tile."""
+
+    def issue(g):
+        off = pl.multiple_of(g * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[g % 2], sems.at[g % 2]
+        ).start()
+
+    def init(t):
+        @pl.when(t == 0)
+        def _():
+            @pl.when(nctotal > 0)
+            def _():
+                issue(0)
+
+            cur[0] = 0
+            cur[1] = jnp.minimum(nctotal, 1)
+
+    def fetch(g):
+        """Ensure chunk g is resident; keep one chunk ahead in flight.
+        Returns the VMEM slot holding chunk g."""
+
+        @pl.when((g + 1 < nctotal) & (cur[1] <= g + 1))
+        def _():
+            issue(g + 1)
+            cur[1] = g + 2
+
+        @pl.when(cur[0] <= g)
+        def _():
+            off = pl.multiple_of(g * CHUNK, CHUNK)
+            pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[g % 2], sems.at[g % 2]
+            ).wait()
+            cur[0] = g + 1
+
+        return scr[g % 2]
+
+    return init, fetch
+
+
+def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, cur):
     # instance packets may be bf16 (half the DMA traffic, the GS-IRON bf16
     # ladder analogue); all blend math runs f32
     t = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
     s = start_ref[t]
     e = end_ref[t]
     base = s // CHUNK  # first 128-aligned window chunk covering [s, e)
     nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
+    nctotal = pl.cdiv(end_ref[num_tiles - 1], CHUNK)
     px, py = _pixel_coords(t, grid_x, tile)
 
-    def get_dma(slot, ci):
-        # window offsets are 128-aligned by construction, which Mosaic
-        # needs to prove lane-tiling divisibility of the DMA offset
-        off = pl.multiple_of((base + ci) * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[slot], sems.at[slot]
-        )
-
-    @pl.when(nch > 0)
-    def _():
-        get_dma(0, 0).start()
+    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init(t)
 
     def body(ci, carry):
         t_raw, t_eff, accum = carry
-        slot = ci % 2
-
-        @pl.when(ci + 1 < nch)
-        def _():
-            get_dma((ci + 1) % 2, ci + 1).start()
-
-        get_dma(slot, ci).wait()
-        blk = scr[slot].astype(jnp.float32)  # (16, 128)
-        woff = (base + ci) * CHUNK
+        g = base + ci
+        blk = fetch(g).astype(jnp.float32)  # (16, 128)
+        woff = g * CHUNK
         q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
@@ -219,6 +259,7 @@ def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -233,20 +274,25 @@ def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
 # ----------------------------------------------------------------------------
 
 
+# SMEM cursor indices for the backward kernel's cross-invocation state
+_RD0, _RD1 = 0, 1  # read-protocol cursors (see _read_protocol)
+_PEND = 2  # 1 -> carry_scr holds grads of a boundary chunk awaiting its next tile
+_WCNT = 3  # number of gradient-chunk writes issued so far
+_WCH0 = 4  # chunk index of the write in flight per slot (4, 5)
+
+
 def _bwd_kernel(
     grid_x, tile, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
-    scr, grad_scr, old_scr, sems, old_sem, out_sems,
+    scr, grad_scr, carry_scr, sems, out_sems, cur,
 ):
     t = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
     s = start_ref[t]
     e = end_ref[t]
     base = s // CHUNK
     nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
-    # a range starting mid-chunk shares its first window chunk with the
-    # previous tile's last one: accumulate into the already-written grads
-    # (read-modify-write; grid steps are sequential and each invocation
-    # drains its writes, so the prior tile's write ordered before our read)
-    is_rmw = (s % CHUNK) != 0
+    total = end_ref[num_tiles - 1]
+    nctotal = pl.cdiv(total, CHUNK)
     px, py = _pixel_coords(t, grid_x, tile)
 
     dpix = dout_ref[0, :, 0:4]  # (256,4) cotangents of [r,g,b,invdepth]
@@ -256,54 +302,27 @@ def _bwd_kernel(
     s_total = jnp.sum(fwd_ref[0, :, 0:4] * dpix, axis=1, keepdims=True)  # (256,1)
     bgdot = d_tfinal * t_final  # background/final-T coupling term
 
-    def get_dma(slot, ci):
-        off = pl.multiple_of((base + ci) * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[slot], sems.at[slot]
-        )
+    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init(t)
 
-    @pl.when(nch > 0)
+    @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        cur[_PEND] = 0
+        cur[_WCNT] = 0
 
-        @pl.when(is_rmw)
-        def _():
-            pltpu.make_async_copy(
-                dinst_ref.at[:, pl.ds(pl.multiple_of(base * CHUNK, CHUNK), CHUNK)],
-                old_scr,
-                old_sem,
-            ).start()
+    def wr_wait(slot):
+        g_prev = cur[_WCH0 + slot]
+        pltpu.make_async_copy(
+            grad_scr.at[slot],
+            dinst_ref.at[:, pl.ds(pl.multiple_of(g_prev * CHUNK, CHUNK), CHUNK)],
+            out_sems.at[slot],
+        ).wait()
 
     def body(ci, carry):
         t_raw, prefix = carry
-        slot = ci % 2
-
-        @pl.when(ci + 1 < nch)
-        def _():
-            get_dma((ci + 1) % 2, ci + 1).start()
-
-        # previous chunk's gradient DMA must have drained before reuse
-        @pl.when(ci >= 2)
-        def _():
-            pltpu.make_async_copy(
-                grad_scr.at[slot],
-                dinst_ref.at[:, pl.ds(pl.multiple_of((base + ci - 2) * CHUNK, CHUNK), CHUNK)],
-                out_sems.at[slot],
-            ).wait()
-
-        rmw_this = (ci == 0) & is_rmw
-
-        @pl.when(rmw_this)
-        def _():
-            pltpu.make_async_copy(
-                dinst_ref.at[:, pl.ds(pl.multiple_of(base * CHUNK, CHUNK), CHUNK)],
-                old_scr,
-                old_sem,
-            ).wait()
-
-        get_dma(slot, ci).wait()
-        blk = scr[slot].astype(jnp.float32)
-        woff = (base + ci) * CHUNK
+        g = base + ci
+        blk = fetch(g).astype(jnp.float32)
+        woff = g * CHUNK
         q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
@@ -348,14 +367,44 @@ def _bwd_kernel(
         )  # (4,128): d r, d g, d b, d invz
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
-        # old_scr holds the previous tile's grads for a shared chunk (NaN-safe:
-        # where() selects, never reads through, on the untaken branch)
-        grad_scr[slot] = jnp.where(rmw_this, grads + old_scr[...], grads)
-        pltpu.make_async_copy(
-            grad_scr.at[slot],
-            dinst_ref.at[:, pl.ds(pl.multiple_of((base + ci) * CHUNK, CHUNK), CHUNK)],
-            out_sems.at[slot],
-        ).start()
+
+        # a boundary chunk shared with the PREVIOUS tile arrives as a VMEM
+        # carry, not an HBM read-modify-write (which would stall every tile
+        # on a full HBM round trip). NaN-safe: where() selects, never reads
+        # through, on the untaken branch (carry_scr starts uninitialized).
+        take_carry = (ci == 0) & (cur[_PEND] == 1)
+        grads = grads + jnp.where(take_carry, carry_scr[...], 0.0)
+        # if OUR range ends mid-chunk and later instances exist, the NEXT
+        # non-empty tile also contributes to this chunk: hand the grads over
+        # instead of writing them
+        hold = (ci == nch - 1) & (e % CHUNK != 0) & (e < total)
+
+        @pl.when(hold)
+        def _():
+            carry_scr[...] = grads
+            cur[_PEND] = 1
+
+        @pl.when(jnp.logical_not(hold))
+        def _():
+            w = cur[_WCNT]
+            slot = w % 2
+
+            @pl.when(w >= 2)
+            def _():
+                wr_wait(slot)
+
+            grad_scr[slot] = grads
+            pltpu.make_async_copy(
+                grad_scr.at[slot],
+                dinst_ref.at[:, pl.ds(pl.multiple_of(g * CHUNK, CHUNK), CHUNK)],
+                out_sems.at[slot],
+            ).start()
+            cur[_WCH0 + slot] = g
+            cur[_WCNT] = w + 1
+
+        @pl.when(take_carry & jnp.logical_not(hold))
+        def _():
+            cur[_PEND] = 0
 
         return q["t_raw_next"], prefix_incl[:, CHUNK - 1 : CHUNK]
 
@@ -363,20 +412,21 @@ def _bwd_kernel(
         0, nch, body,
         (jnp.ones((PPT, 1), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
     )
-    # drain the last (up to) two in-flight gradient writes — MUST complete
-    # before this invocation returns: the next tile may read-modify-write
-    # the shared boundary chunk
-    def drain(ci, _):
-        @pl.when(ci >= jnp.maximum(nch - 2, 0))
-        def _():
-            pltpu.make_async_copy(
-                grad_scr.at[ci % 2],
-                dinst_ref.at[:, pl.ds(pl.multiple_of((base + ci) * CHUNK, CHUNK), CHUNK)],
-                out_sems.at[ci % 2],
-            ).wait()
-        return 0
 
-    jax.lax.fori_loop(jnp.maximum(nch - 2, 0), nch, drain, 0)
+    # every chunk is written exactly once, by its last contributing tile; a
+    # pending carry always has a later consumer (e < total). Only the final
+    # invocation must drain the (up to two) writes still in flight.
+    @pl.when(t == num_tiles - 1)
+    def _():
+        w = cur[_WCNT]
+
+        @pl.when(w >= 2)
+        def _():
+            wr_wait(w % 2)  # slot of write w-2
+
+        @pl.when(w >= 1)
+        def _():
+            wr_wait((w + 1) % 2)  # slot of write w-1
 
 
 def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile):
@@ -395,10 +445,10 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, t
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
             pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),  # grads stay f32
-            pltpu.VMEM((N_ROWS, CHUNK), jnp.float32),  # shared-chunk old grads
+            pltpu.VMEM((N_ROWS, CHUNK), jnp.float32),  # boundary-chunk carry
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((6,), jnp.int32),
         ],
     )
     return pl.pallas_call(
