@@ -51,9 +51,21 @@ def _device_batch(cam, _cache={}):
             invd = jnp.asarray(cam.invdepth)
             dmask = jnp.asarray(cam.depth_mask[..., 0])
         else:
-            invd = jnp.zeros((h, w), jnp.float32)
-            dmask = jnp.zeros((h, w), jnp.float32)
+            # depthless cameras share ONE zeros array per shape (a fresh
+            # 2x(H,W) per camera would burn ~1.5GB HBM on a 100-view scene)
+            zkey = ("z", h, w)
+            if zkey not in _cache:
+                _cache[zkey] = jnp.zeros((h, w), jnp.float32)
+            invd = dmask = _cache[zkey]
         _cache[key] = (gt, mask, invd, dmask)
+    return _cache[key]
+
+
+def _device_gt(cam, _cache={}):
+    """gt-only device cache for eval loops (test views never need masks)."""
+    key = (id(cam.image), cam.uid)
+    if key not in _cache:
+        _cache[key] = jnp.asarray(cam.image)
     return _cache[key]
 
 
@@ -88,7 +100,8 @@ def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=No
 
     l1s, psnrs = [], []
     for cam in cameras:
-        l1, ps = eval_one(cam.camera, state.params, state.alive, jnp.asarray(cam.image))
+        gt = _device_gt(cam)  # cached device upload (tunnel is slow)
+        l1, ps = eval_one(cam.camera, state.params, state.alive, gt)
         l1s.append(float(l1))
         psnrs.append(float(ps))
     return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
