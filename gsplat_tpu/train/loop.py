@@ -286,17 +286,20 @@ def train(
                         f"[auto] it {iteration}: instances {n_inst} "
                         f"(overflow {overflow}) — growing capacity to {inst_cap}"
                     )
-                elif cap_logs >= 50 and _next_pow2(2 * cap_peak) <= inst_cap // 4:
+                elif cap_logs >= 50:
                     # the early prune (opacity < 0.005 from densify_from_iter)
                     # collapses the instance count; every capacity-
                     # proportional stage then pays 4x+ for dead slots. Shrink
                     # only on a sustained >=4x gap — a recompile costs far
-                    # more than a 2x misfit.
-                    inst_cap = _next_pow2(2 * cap_peak)
-                    print(
-                        f"[auto] it {iteration}: recent instance peak "
-                        f"{cap_peak} — shrinking capacity to {inst_cap}"
-                    )
+                    # more than a 2x misfit. The peak window RESTARTS every
+                    # 50 logs either way: an all-time peak (e.g. the pre-prune
+                    # init spike) would otherwise block shrinking forever.
+                    if _next_pow2(2 * cap_peak) <= inst_cap // 4:
+                        inst_cap = _next_pow2(2 * cap_peak)
+                        print(
+                            f"[auto] it {iteration}: recent instance peak "
+                            f"{cap_peak} — shrinking capacity to {inst_cap}"
+                        )
                     cap_peak, cap_logs = 0, 0
             elif overflow > 0:
                 print(
