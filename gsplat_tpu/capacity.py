@@ -55,6 +55,49 @@ def probe_instance_capacity(params, alive, cams, settings_probe=None):
     return peak
 
 
+class CapacityController:
+    """Grow/shrink policy for the compiled instance capacity during training.
+
+    Fed one observation per log step (the instance count and overflow the
+    train step reported), it returns the new capacity when a resize is due,
+    else None. Policy:
+
+    - GROW immediately on overflow or at >70% utilization — densification
+      raises the count between observations, and overflow silently drops the
+      farthest instances until the next log-gated host sync sees it.
+    - SHRINK only on a sustained >=4x gap: the observation window restarts
+      every `window` steps, and a shrink fires when a full window's peak
+      would fit in a quarter of the current capacity (a recompile costs far
+      more than a 2x misfit; an all-time peak — e.g. the pre-prune init
+      spike — must not block shrinking forever, hence the rolling restart).
+    """
+
+    def __init__(self, capacity: int, window: int = 50):
+        self.capacity = int(capacity)
+        self.window = window
+        self._peak = 0
+        self._logs = 0
+
+    def _reset(self):
+        self._peak = 0
+        self._logs = 0
+
+    def update(self, n_instances: int, overflow: int) -> int | None:
+        self._peak = max(self._peak, int(n_instances))
+        self._logs += 1
+        if overflow > 0 or n_instances > 0.7 * self.capacity:
+            self.capacity = next_pow2(max(2 * int(n_instances), 2 * self.capacity))
+            self._reset()
+            return self.capacity
+        if self._logs >= self.window:
+            shrunk = next_pow2(2 * self._peak)
+            self._reset()
+            if shrunk <= self.capacity // 4:
+                self.capacity = shrunk
+                return self.capacity
+        return None
+
+
 def resolve_instance_capacity(configured: int, params, alive, cams, margin=2.0):
     """configured > 0 -> fixed; 0 -> probe the cameras and size with margin."""
     if configured:

@@ -69,7 +69,7 @@ def _device_gt(cam, _cache={}):
     return _cache[key]
 
 
-from gsplat_tpu.capacity import next_pow2 as _next_pow2
+from gsplat_tpu.capacity import CapacityController, next_pow2 as _next_pow2
 from gsplat_tpu.capacity import probe_instance_capacity
 
 
@@ -200,7 +200,7 @@ def train(
 
     rng = random.Random(0)
     np_rng = np.random.default_rng(0)
-    cap_peak, cap_logs = 0, 0
+    cap_ctl = CapacityController(inst_cap) if auto_cap else None
     viewpoint_stack = []
     ema_loss = 0.0
     ema_depth = 0.0
@@ -271,36 +271,14 @@ def train(
                 )
             overflow = int(metrics["instance_overflow"])
             if auto_cap:
-                # grow BEFORE hard overflow: densification raises the
-                # instance count between probes, and at >70% utilization the
-                # next densify round can overshoot. Overflow itself only
-                # drops the farthest instances for a few iterations (until
-                # this log-gated sync sees it), but don't let it linger.
                 n_inst = int(metrics["num_instances"])
-                cap_peak = max(cap_peak, n_inst)
-                cap_logs += 1
-                if overflow > 0 or n_inst > 0.7 * inst_cap:
-                    inst_cap = _next_pow2(max(2 * n_inst, 2 * inst_cap))
-                    cap_peak, cap_logs = 0, 0
+                new_cap = cap_ctl.update(n_inst, overflow)
+                if new_cap is not None:
+                    inst_cap = new_cap
                     print(
                         f"[auto] it {iteration}: instances {n_inst} "
-                        f"(overflow {overflow}) — growing capacity to {inst_cap}"
+                        f"(overflow {overflow}) — capacity -> {inst_cap}"
                     )
-                elif cap_logs >= 50:
-                    # the early prune (opacity < 0.005 from densify_from_iter)
-                    # collapses the instance count; every capacity-
-                    # proportional stage then pays 4x+ for dead slots. Shrink
-                    # only on a sustained >=4x gap — a recompile costs far
-                    # more than a 2x misfit. The peak window RESTARTS every
-                    # 50 logs either way: an all-time peak (e.g. the pre-prune
-                    # init spike) would otherwise block shrinking forever.
-                    if _next_pow2(2 * cap_peak) <= inst_cap // 4:
-                        inst_cap = _next_pow2(2 * cap_peak)
-                        print(
-                            f"[auto] it {iteration}: recent instance peak "
-                            f"{cap_peak} — shrinking capacity to {inst_cap}"
-                        )
-                    cap_peak, cap_logs = 0, 0
             elif overflow > 0:
                 print(
                     f"WARNING it {iteration}: instance buffer overflow "
