@@ -200,7 +200,12 @@ def train(
 
     rng = random.Random(0)
     np_rng = np.random.default_rng(0)
-    cap_ctl = CapacityController(inst_cap) if auto_cap else None
+    # shrink-window spans ~500 iterations regardless of log cadence
+    cap_ctl = (
+        CapacityController(inst_cap, window=max(1, 500 // max(log_every, 1)))
+        if auto_cap
+        else None
+    )
     viewpoint_stack = []
     ema_loss = 0.0
     ema_depth = 0.0
