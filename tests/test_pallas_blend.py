@@ -127,3 +127,60 @@ def test_bf16_packets_close_to_f32():
     assert d.max() < 0.1, d.max()
     assert np.mean(d) < 5e-3, np.mean(d)
     assert np.isfinite(np.asarray(bf16.color)).all()
+
+
+def test_streaming_protocol_boundary_patterns():
+    """Adversarial tile-range shapes for the cross-invocation DMA protocol:
+    empty head/mid/tail tiles, a range ending exactly on a chunk boundary,
+    chunks shared by adjacent tiles, a single-instance tile, and a tail of
+    unused capacity. Forward AND backward must match the jnp oracle."""
+    from gsplat_tpu.ops.binning import TileBins
+
+    n, width, height = 400, 64, 32  # 4x2 tile grid
+    sc = make_test_scene(
+        np.random.default_rng(11), n=n, width=width, height=height, sh_degree=1
+    )
+    params, camera, alive = scene_to_inputs(sc)
+    settings = make_render_settings(
+        sh_degree=1, max_per_tile=1024, instance_capacity=1 << 10
+    )
+    gx, gy = grid_dims(camera, 16)
+    assert (gx, gy) == (4, 2)
+    screen = preprocess(params, alive, camera, settings, gx, gy)
+
+    cap = 1 << 10
+    rng = np.random.default_rng(7)
+    start = np.array([0, 0, 100, 256, 257, 900, 900, 1000], np.int32)
+    end = np.array([0, 100, 256, 257, 900, 900, 1000, 1000], np.int32)
+    gid = rng.integers(0, n, size=cap).astype(np.int32)
+    tile_id = np.full(cap, gx * gy, np.int32)  # tail-invalid by default
+    for t in range(8):
+        tile_id[start[t] : end[t]] = t
+    bins = TileBins(
+        gauss_id=jnp.asarray(gid),
+        tile_id=jnp.asarray(tile_id),
+        tile_start=jnp.asarray(start),
+        tile_end=jnp.asarray(end),
+        num_instances=jnp.int32(1000),
+        overflow=jnp.int32(0),
+    )
+
+    oj = blend_tiles_jnp(screen, bins, gx, gy, 16, 1024, 128)
+    op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+    np.testing.assert_allclose(np.asarray(op.color), np.asarray(oj.color), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(op.final_t), np.asarray(oj.final_t), atol=2e-5)
+
+    def loss(fn):
+        def f(mean2d, opacity):
+            s2 = screen.replace(mean2d=mean2d, opacity=opacity)
+            out = fn(s2)
+            return jnp.sum(out.color**2) + jnp.sum(out.final_t * 0.3)
+
+        return f
+
+    args = (screen.mean2d, screen.opacity)
+    gj = jax.grad(loss(lambda s: blend_tiles_jnp(s, bins, gx, gy, 16, 1024, 128)), (0, 1))(*args)
+    gp = jax.grad(loss(lambda s: rp.blend_tiles_pallas(s, bins, gx, gy, 16)), (0, 1))(*args)
+    for name, a, b in zip(["mean2d", "opacity"], gj, gp):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
+        assert rel < 5e-5, f"{name}: rel diff {rel}"
