@@ -113,7 +113,14 @@ def densify_and_prune(
 
     prune = opacity < min_opacity
     if max_screen_size:
-        prune = prune | (stats["max_radii2d"] > max_screen_size) | (max_scale > 0.1 * extent)
+        # NOTE: the reference's screen-size prune (`big_points_vs`,
+        # `gaussian_model.py:462`) reads `self.max_radii2D` AFTER
+        # `densification_postfix` has zeroed it (`gaussian_model.py:408`), so
+        # it is dead code upstream: only the world-size prune is live.
+        # Matching the intended (radii > 20px) semantics instead executes
+        # every large splat each round and collapses training — measured on
+        # lego: post-reset mass prune 78k -> 30k, loss stuck 3.5x higher.
+        prune = prune | (max_scale > 0.1 * extent)
     prune = prune & alive
 
     hot = alive & ~prune & (grads >= grad_threshold)

@@ -238,6 +238,20 @@ def train(
             jnp.float32(depth_w), jnp.int32(cam.uid),
         )
 
+        # Eval BEFORE the densify/reset block, like the reference's
+        # training_report (`train.py:158` precedes `:163-174`) — evaluating
+        # after an opacity reset reports a meaningless transparent render.
+        if iteration in testing_iterations:
+            ev = evaluate_test(
+                state, scene.get_test_cameras(), settings_for(active_sh), bg_color
+            )
+            if ev:
+                results["test"][iteration] = ev
+                print(f"\n[ITER {iteration}] test: L1 {ev['l1']:.5f} PSNR {ev['psnr']:.2f}\n")
+                if tb is not None:
+                    tb.add_scalar("test/loss_viewpoint - l1_loss", ev["l1"], iteration)
+                    tb.add_scalar("test/loss_viewpoint - psnr", ev["psnr"], iteration)
+
         # Densification cadence (`train.py:163-174`)
         if iteration < opt.densify_until_iter:
             if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
@@ -291,17 +305,6 @@ def train(
                     file=sys.stderr,
                 )
         t_iter = time.time()
-
-        if iteration in testing_iterations:
-            ev = evaluate_test(
-                state, scene.get_test_cameras(), settings_for(active_sh), bg_color
-            )
-            if ev:
-                results["test"][iteration] = ev
-                print(f"\n[ITER {iteration}] test: L1 {ev['l1']:.5f} PSNR {ev['psnr']:.2f}\n")
-                if tb is not None:
-                    tb.add_scalar("test/loss_viewpoint - l1_loss", ev["l1"], iteration)
-                    tb.add_scalar("test/loss_viewpoint - psnr", ev["psnr"], iteration)
 
         if iteration in saving_iterations and scene.model_path:
             print(f"\n[ITER {iteration}] Saving Gaussians")

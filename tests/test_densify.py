@@ -95,15 +95,19 @@ def test_prune_low_opacity(rng):
 
 
 def test_size_prune_with_screen_threshold(rng):
+    """World-size prune is live when max_screen_size is set; the screen-radius
+    prune must NOT fire — the reference's `big_points_vs` reads max_radii2D
+    after densification_postfix zeroed it (`gaussian_model.py:408,462`), so it
+    is dead code upstream and pruning on it collapses training."""
     c = 32
     params, alive, m, v, counts = make_state(6, c, rng, scale=0.01)
     stats = zero_stats(c)
     stats["max_radii2d"] = stats["max_radii2d"].at[2].set(50)  # big on screen
     params = params.replace(scaling=params.scaling.at[4].set(np.log(0.5)))  # big in world
     p2, a2, *_, info = run(params, alive, m, v, counts, stats, max_screen_size=20)
-    assert not np.asarray(a2)[2]
+    assert np.asarray(a2)[2]  # screen-size alone must not prune
     assert not np.asarray(a2)[4]
-    assert int(a2.sum()) == 4
+    assert int(a2.sum()) == 5
 
 
 def test_capacity_exhaustion_reports_dropped(rng):
