@@ -70,17 +70,32 @@ class CapacityController:
       would fit in a quarter of the current capacity (a recompile costs far
       more than a 2x misfit; an all-time peak — e.g. the pre-prune init
       spike — must not block shrinking forever, hence the rolling restart).
+    - A `notify_structural_change()` (a mass prune / opacity-reset round)
+      restarts the window at a short `event_window`, so the shrink decision
+      comes a few observations after the event instead of up to a full
+      window later (the init->first-prune capacity gap costs ~6x per-step
+      time; waiting 500 iterations to react was ~20% of a 7k-iter run).
     """
 
-    def __init__(self, capacity: int, window: int = 50):
+    def __init__(self, capacity: int, window: int = 50, event_window: int = 5):
         self.capacity = int(capacity)
         self.window = window
+        self.event_window = max(1, min(event_window, window))
         self._peak = 0
         self._logs = 0
+        self._target = window
 
     def _reset(self):
         self._peak = 0
         self._logs = 0
+        self._target = self.window
+
+    def notify_structural_change(self):
+        """The instance regime just changed (e.g. a big prune): restart the
+        observation window short so the next shrink check comes early."""
+        self._peak = 0
+        self._logs = 0
+        self._target = self.event_window
 
     def update(self, n_instances: int, overflow: int) -> int | None:
         self._peak = max(self._peak, int(n_instances))
@@ -89,7 +104,7 @@ class CapacityController:
             self.capacity = next_pow2(max(2 * int(n_instances), 2 * self.capacity))
             self._reset()
             return self.capacity
-        if self._logs >= self.window:
+        if self._logs >= self._target:
             shrunk = next_pow2(2 * self._peak)
             self._reset()
             if shrunk <= self.capacity // 4:

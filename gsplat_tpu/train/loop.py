@@ -257,6 +257,12 @@ def train(
             if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
                 size_threshold = 20 if iteration > opt.opacity_reset_interval else 0
                 state, dinfo = densify_step(state, jnp.float32(extent), size_threshold)
+                if cap_ctl is not None:
+                    n_pruned, n_alive = int(dinfo["n_pruned"]), int(dinfo["n_alive"])
+                    if n_pruned * 3 >= n_alive:
+                        # mass prune (opacity-reset aftermath): let the
+                        # capacity controller re-evaluate on a short window
+                        cap_ctl.notify_structural_change()
                 if not quiet and iteration % 1000 == 0:
                     print(
                         f"[densify {iteration}] alive={int(dinfo['n_alive'])} "

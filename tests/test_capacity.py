@@ -56,3 +56,22 @@ def test_shrink_requires_4x_gap():
     for _ in range(50):
         out = c.update((1 << 18) + 1, overflow=0)  # 2x gap only
     assert out is None and c.capacity == 1 << 20
+
+
+def test_event_notification_shortens_shrink_latency():
+    c = CapacityController(1 << 23, window=50, event_window=5)
+    c.update(3_000_000, overflow=0)  # init spike
+    c.notify_structural_change()     # mass prune happened
+    out = [c.update(100_000, overflow=0) for _ in range(5)]
+    assert out[:-1] == [None] * 4
+    assert out[-1] == next_pow2(200_000)  # shrink after 5 obs, not 50
+    # back to the normal window afterwards
+    for _ in range(49):
+        assert c.update(100_000, overflow=0) is None
+
+
+def test_event_window_does_not_force_shrink_without_gap():
+    c = CapacityController(1 << 20, window=50, event_window=5)
+    c.notify_structural_change()
+    out = [c.update((1 << 18) + 1, overflow=0) for _ in range(5)]
+    assert all(o is None for o in out) and c.capacity == 1 << 20
