@@ -74,9 +74,13 @@ from gsplat_tpu.capacity import probe_instance_capacity
 
 
 def save_checkpoint(path, state, iteration):
+    """Atomic (tmp + rename) so a crash mid-write never corrupts the file a
+    supervisor would resume from."""
     host_state = jax.tree.map(np.asarray, state)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump({"state": host_state, "iteration": iteration}, f)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):
@@ -118,6 +122,7 @@ def train(
     quiet: bool = False,
     log_every: int = 10,
     on_iteration=None,
+    checkpoint_every: int = 0,
 ):
     """Run the full optimization; returns (state, scene, results dict)."""
     scene = Scene(
@@ -141,6 +146,8 @@ def train(
     if start_checkpoint:
         state, first_iter = load_checkpoint(start_checkpoint)
         print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
+        # size the instance buffer to the restored model, not the init cloud
+        params, alive = state.params, state.alive
 
     extent = float(scene.cameras_extent)
     xyz_sched = expon_lr_func(
@@ -210,7 +217,10 @@ def train(
     ema_loss = 0.0
     ema_depth = 0.0
     results = {"test": {}}
-    active_sh = 0
+    # SH degree ramps once per 1000 iterations; on resume, catch up to where
+    # the ramp would be (the reference restores active_sh_degree from the
+    # checkpoint tuple, `gaussian_model.py:76,89`)
+    active_sh = min(first_iter // 1000, model_cfg.sh_degree)
     t0 = time.time()
     t_iter = time.time()
 
@@ -322,6 +332,16 @@ def train(
             print(f"\n[ITER {iteration}] Saving Checkpoint")
             save_checkpoint(
                 os.path.join(scene.model_path, f"chkpnt{iteration}.pkl"), state, iteration
+            )
+        if (
+            checkpoint_every
+            and iteration % checkpoint_every == 0
+            and scene.model_path
+        ):
+            # rolling checkpoint for stall/crash recovery (overwritten in
+            # place; `scripts/train_supervised.py` resumes from it)
+            save_checkpoint(
+                os.path.join(scene.model_path, "rolling_chkpnt.pkl"), state, iteration
             )
         if on_iteration is not None:
             on_iteration(iteration, state, metrics)

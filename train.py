@@ -35,6 +35,11 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[7_000, 30_000])
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--checkpoint_every", type=int, default=0,
+        help="write a rolling recovery checkpoint every N iterations "
+        "(atomic overwrite of <model>/rolling_chkpnt.pkl)",
+    )
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument(
@@ -111,6 +116,7 @@ def main(argv=None):
             quiet=args.quiet,
             log_every=args.log_every,
             on_iteration=on_iteration,
+            checkpoint_every=args.checkpoint_every,
         )
     finally:
         if gui_server:
