@@ -28,7 +28,7 @@ def init_from_pcd(
     colors,
     max_sh_degree: int = 3,
     capacity: int | None = None,
-    capacity_multiplier: float = 8.0,
+    capacity_multiplier: float = 2.0,
 ):
     """Build (GaussianParams, alive) from an SfM/random point cloud.
 
@@ -37,8 +37,11 @@ def init_from_pcd(
       colors: (N, 3) float32 RGB in [0, 1].
       max_sh_degree: maximum SH degree (3 in the reference).
       capacity: total row capacity; default rounds N*capacity_multiplier up to
-        a 4096 multiple (densification headroom — the reference grows tensors
-        dynamically instead, `gaussian_model.py:316-386`).
+        a 4096 multiple. Padding is deliberately modest: every per-gaussian
+        stage pays per compiled row (an 8x-padded lego step measured ~2x a
+        tight one), and the training loop GROWS capacity on demand via
+        `train/resize.py` — the TPU answer to the reference's dynamic tensor
+        reallocation (`gaussian_model.py:316-386`).
     """
     points = np.asarray(points, np.float32)
     colors = np.asarray(colors, np.float32)

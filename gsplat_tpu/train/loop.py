@@ -69,8 +69,9 @@ def _device_gt(cam, _cache={}):
     return _cache[key]
 
 
-from gsplat_tpu.capacity import CapacityController, next_pow2 as _next_pow2
+from gsplat_tpu.capacity import CapacityController, quantize_capacity
 from gsplat_tpu.capacity import probe_instance_capacity
+from gsplat_tpu.train.resize import resize_train_state
 
 
 def save_checkpoint(path, state, iteration):
@@ -169,7 +170,7 @@ def train(
     auto_cap = pipe.instance_capacity == 0
     if auto_cap:
         peak = probe_instance_capacity(params, alive, train_cams)
-        inst_cap = _next_pow2(2 * max(peak, 1))
+        inst_cap = quantize_capacity(int(1.6 * max(peak, 1)))
         print(f"[auto] instance capacity {inst_cap} (probe peak {peak})")
     else:
         inst_cap = pipe.instance_capacity
@@ -211,6 +212,17 @@ def train(
     cap_ctl = (
         CapacityController(inst_cap, window=max(1, 500 // max(log_every, 1)))
         if auto_cap
+        else None
+    )
+    # gaussian-axis controller: observed once per densify round (100 iters),
+    # so a 10-observation window spans ~1000 iterations. pipe.capacity > 0
+    # pins the capacity (no controller), matching the instance-axis knob.
+    gauss_ctl = (
+        CapacityController(
+            state.params.capacity, window=10, event_window=3, floor=4096,
+            grow_frac=0.75, grow_margin=1.5, shrink_margin=1.6,
+        )
+        if not pipe.capacity
         else None
     )
     viewpoint_stack = []
@@ -267,12 +279,22 @@ def train(
             if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
                 size_threshold = 20 if iteration > opt.opacity_reset_interval else 0
                 state, dinfo = densify_step(state, jnp.float32(extent), size_threshold)
-                if cap_ctl is not None:
-                    n_pruned, n_alive = int(dinfo["n_pruned"]), int(dinfo["n_alive"])
-                    if n_pruned * 3 >= n_alive:
-                        # mass prune (opacity-reset aftermath): let the
-                        # capacity controller re-evaluate on a short window
+                n_pruned, n_alive = int(dinfo["n_pruned"]), int(dinfo["n_alive"])
+                if n_pruned * 3 >= n_alive:
+                    # mass prune (opacity-reset aftermath): let the
+                    # capacity controllers re-evaluate on a short window
+                    if cap_ctl is not None:
                         cap_ctl.notify_structural_change()
+                    if gauss_ctl is not None:
+                        gauss_ctl.notify_structural_change()
+                if gauss_ctl is not None:
+                    new_gcap = gauss_ctl.update(n_alive, int(dinfo["n_dropped"]))
+                    if new_gcap is not None:
+                        state = resize_train_state(state, new_gcap)
+                        print(
+                            f"[auto] it {iteration}: alive {n_alive} — "
+                            f"gaussian capacity -> {new_gcap}"
+                        )
                 if not quiet and iteration % 1000 == 0:
                     print(
                         f"[densify {iteration}] alive={int(dinfo['n_alive'])} "

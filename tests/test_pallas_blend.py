@@ -184,3 +184,78 @@ def test_streaming_protocol_boundary_patterns():
     for name, a, b in zip(["mean2d", "opacity"], gj, gp):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
         assert rel < 5e-5, f"{name}: rel diff {rel}"
+
+
+def test_saturation_early_out_is_exact():
+    """Opaque gaussians saturate every pixel within a few instances; the
+    kernels must skip the remaining chunks (stream jump) with renders AND
+    gradients exactly matching the no-early-out jnp oracle. Interleaves
+    saturating tiles (multi-chunk skips) with transparent tiles (no skip) so
+    the jump/no-jump protocol transitions are all exercised."""
+    from gsplat_tpu.ops.binning import TileBins
+
+    n, width, height = 400, 64, 32  # 4x2 tile grid
+    sc = make_test_scene(
+        np.random.default_rng(23), n=n, width=width, height=height, sh_degree=1
+    )
+    params, camera, alive = scene_to_inputs(sc)
+    settings = make_render_settings(
+        sh_degree=1, max_per_tile=2048, instance_capacity=1 << 12
+    )
+    gx, gy = grid_dims(camera, 16)
+    screen = preprocess(params, alive, camera, settings, gx, gy)
+    # huge, near-opaque splats: every instance covers its whole tile and
+    # multiplies transmittance by <= 0.1 -> saturation after ~4 instances
+    opaque = screen.replace(
+        opacity=jnp.full_like(screen.opacity, 0.9),
+        conic=jnp.tile(jnp.asarray([1e-4, 0.0, 1e-4]), (screen.conic.shape[0], 1)),
+    )
+
+    cap = 1 << 12
+    rng = np.random.default_rng(5)
+    # tiles 0,2,4,6: 500-instance ranges (4 chunks; >=2 skipped when opaque)
+    # tiles 1,5: empty; tiles 3,7: short ranges crossing chunk boundaries
+    start = np.array([0, 500, 500, 1000, 1100, 1600, 1600, 2100], np.int32)
+    end = np.array([500, 500, 1000, 1100, 1600, 1600, 2100, 2180], np.int32)
+    gid = rng.integers(0, n, size=cap).astype(np.int32)
+    tile_id = np.full(cap, gx * gy, np.int32)
+    for t in range(8):
+        tile_id[start[t] : end[t]] = t
+    bins = TileBins(
+        gauss_id=jnp.asarray(gid),
+        tile_id=jnp.asarray(tile_id),
+        tile_start=jnp.asarray(start),
+        tile_end=jnp.asarray(end),
+        num_instances=jnp.int32(2180),
+        overflow=jnp.int32(0),
+    )
+
+    for label, scr in [("opaque", opaque), ("mixed", screen)]:
+        oj = blend_tiles_jnp(scr, bins, gx, gy, 16, 2048, 128)
+        op = rp.blend_tiles_pallas(scr, bins, gx, gy, 16)
+        np.testing.assert_allclose(
+            np.asarray(op.color), np.asarray(oj.color), atol=2e-5, err_msg=label
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.final_t), np.asarray(oj.final_t), atol=2e-5, err_msg=label
+        )
+
+        def loss(fn):
+            def f(mean2d, opacity, rgb):
+                s2 = scr.replace(mean2d=mean2d, opacity=opacity, rgb=rgb)
+                out = fn(s2)
+                return jnp.sum(out.color**2) + jnp.sum(out.final_t * 0.3)
+
+            return f
+
+        args = (scr.mean2d, scr.opacity, scr.rgb)
+        gj = jax.grad(
+            loss(lambda s: blend_tiles_jnp(s, bins, gx, gy, 16, 2048, 128)),
+            (0, 1, 2),
+        )(*args)
+        gp = jax.grad(
+            loss(lambda s: rp.blend_tiles_pallas(s, bins, gx, gy, 16)), (0, 1, 2)
+        )(*args)
+        for name, a, b in zip(["mean2d", "opacity", "rgb"], gj, gp):
+            rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
+            assert rel < 5e-5, f"{label}/{name}: rel diff {rel}"

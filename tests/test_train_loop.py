@@ -95,8 +95,15 @@ def test_auto_instance_capacity_probe_and_growth(mini_blender, monkeypatch):
     import gsplat_tpu.data.readers as readers
 
     monkeypatch.setattr(loop_mod, "probe_instance_capacity", lambda *a, **k: 1)
+    # drop the capacity floor so the tiny scene can actually overflow
     monkeypatch.setattr(
-        loop_mod, "_next_pow2", lambda n: 1 << max(8, int(n - 1).bit_length())
+        loop_mod, "quantize_capacity",
+        lambda n, floor=256: max(256, (int(n) + 127) // 128 * 128),
+    )
+    orig_ctl = loop_mod.CapacityController
+    monkeypatch.setattr(
+        loop_mod, "CapacityController",
+        lambda cap, **kw: orig_ctl(cap, **{**kw, "floor": 256}),
     )
 
     orig = readers.read_blender_scene_info
@@ -130,3 +137,54 @@ def test_auto_instance_capacity_probe_and_growth(mini_blender, monkeypatch):
     # growth must have fired: 512 gaussians on a 48x48 grid emit far more
     # than the forced initial 256-slot capacity
     assert results.get("instance_capacity", 0) > 256
+
+
+def test_gaussian_capacity_grows_during_densification(mini_blender, monkeypatch):
+    """pipe.capacity=0 enables the gaussian-axis controller: with an
+    aggressive densify cadence the alive count must cross the grow threshold
+    and the state must be resized mid-run without corrupting training."""
+    import gsplat_tpu.model as model_mod
+    import gsplat_tpu.train.loop as loop_mod
+    import gsplat_tpu.data.readers as readers
+
+    orig_read = readers.read_blender_scene_info
+
+    def small_scene(path, **kw):
+        info = orig_read(path, **kw)
+        rng = np.random.default_rng(0)
+        n = 512
+        info.points = (rng.random((n, 3)) * 2.6 - 1.3).astype(np.float32)
+        info.colors = rng.random((n, 3)).astype(np.float32)
+        info.normals = np.zeros((n, 3), np.float32)
+        return info
+
+    monkeypatch.setattr(readers, "read_blender_scene_info", small_scene)
+    monkeypatch.setitem(
+        readers.read_scene_info.__globals__, "read_blender_scene_info", small_scene
+    )
+
+    # small initial padding so growth fires within a few densify rounds
+    orig_init = model_mod.init_from_pcd
+
+    def tight_init(points, colors, **kw):
+        kw.pop("capacity", None)
+        return orig_init(points, colors, capacity=1024, **kw)
+
+    monkeypatch.setattr(loop_mod, "init_from_pcd", tight_init)
+
+    model_cfg = ModelConfig(source_path=mini_blender, sh_degree=1, eval=True)
+    opt = OptimizationConfig(
+        iterations=16, densify_from_iter=1, densification_interval=2,
+        densify_until_iter=100, densify_grad_threshold=0.0,
+        opacity_reset_interval=1000,
+    )
+    pipe = PipelineConfig(
+        backend="jnp", instance_capacity=1 << 15, max_per_tile=256, capacity=0
+    )
+    state, scene, results = loop_mod.train(
+        model_cfg, opt, pipe, testing_iterations=(16,), saving_iterations=(),
+        quiet=True, log_every=4,
+    )
+    assert state.params.capacity > 1024  # growth fired
+    assert int(np.asarray(state.alive).sum()) > 500
+    assert np.isfinite(results["test"][16]["psnr"])
