@@ -52,6 +52,13 @@ def probe_instance_capacity(params, alive, cams, settings_probe=None):
     Runs only the per-gaussian preprocess (no binning/blend) and sums
     tiles_touched — exactly the count the instance buffer must hold
     (capacity is checked pre-cull in `ops/binning.py`).
+
+    Cameras are grouped by (width, height) and each group runs as ONE
+    jitted `lax.map` over the stacked camera pytrees: per-camera dispatch
+    costs a host<->device round trip each (~4 minutes for lego's 300
+    cameras through the TPU tunnel; one batched dispatch probes them all
+    in seconds). `lax.map` (not vmap) keeps peak memory at one camera's
+    preprocess.
     """
     from gsplat_tpu.core.types import make_render_settings
     from gsplat_tpu.ops.projection import preprocess
@@ -59,19 +66,25 @@ def probe_instance_capacity(params, alive, cams, settings_probe=None):
     settings = settings_probe or make_render_settings(
         sh_degree=0, instance_capacity=1, max_per_tile=1
     )
-    fns = {}
-    peak = 0
+    groups = {}
     for cam in cams:
-        key = (cam.camera.width, cam.camera.height)
-        if key not in fns:
-            gx = (key[0] + settings.tile - 1) // settings.tile
-            gy = (key[1] + settings.tile - 1) // settings.tile
-            fns[key] = jax.jit(
-                lambda p, a, c, gx=gx, gy=gy: preprocess(
-                    p, a, c, settings, gx, gy
-                ).tiles_touched.sum()
-            )
-        peak = max(peak, int(fns[key](params, alive, cam.camera)))
+        groups.setdefault((cam.camera.width, cam.camera.height), []).append(
+            cam.camera
+        )
+    peak = 0
+    for (w, h), group in groups.items():
+        gx = (w + settings.tile - 1) // settings.tile
+        gy = (h + settings.tile - 1) // settings.tile
+        batch = jax.tree.map(lambda *ls: jax.numpy.stack(ls), *group)
+
+        @jax.jit
+        def probe_all(p, a, b, gx=gx, gy=gy):
+            return jax.lax.map(
+                lambda c: preprocess(p, a, c, settings, gx, gy).tiles_touched.sum(),
+                b,
+            ).max()
+
+        peak = max(peak, int(probe_all(params, alive, batch)))
     return peak
 
 
