@@ -219,3 +219,37 @@ def test_resize_roundtrip_preserves_render():
     np.testing.assert_allclose(img(grown), base, atol=1e-6)
     shrunk = resize_train_state(grown, 256)
     np.testing.assert_allclose(img(shrunk), base, atol=1e-6)
+
+
+def test_batched_probe_matches_per_camera():
+    """probe_instance_capacity batches same-shape cameras into one lax.map
+    dispatch (per-camera dispatch paid a tunnel round trip each); the peak
+    must equal the naive per-camera loop, across mixed camera shapes."""
+    import jax
+
+    from gsplat_tpu.capacity import probe_instance_capacity
+    from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.ops.projection import preprocess
+    from tests.oracle.reference_math import make_test_scene
+    from tests.test_forward_vs_oracle import scene_to_inputs
+
+    rng = np.random.default_rng(11)
+    params, _, alive = scene_to_inputs(make_test_scene(rng, n=500))
+    cams = []
+    for w, h, seed in [(64, 48, 0), (64, 48, 1), (96, 48, 2), (64, 48, 3)]:
+        sc = make_test_scene(np.random.default_rng(seed), n=4, width=w, height=h)
+        _, cam, _ = scene_to_inputs(sc)
+        cams.append(type("H", (), {"camera": cam})())
+
+    peak = probe_instance_capacity(params, alive, cams)
+    settings = make_render_settings(sh_degree=0, instance_capacity=1, max_per_tile=1)
+    naive = 0
+    for holder in cams:
+        c = holder.camera
+        gx = (c.width + 15) // 16
+        gy = (c.height + 15) // 16
+        naive = max(
+            naive,
+            int(preprocess(params, alive, c, settings, gx, gy).tiles_touched.sum()),
+        )
+    assert peak == naive > 0
