@@ -40,7 +40,7 @@ def trained_model(mini_blender, tmp_path_factory):
                 "--backend", "jnp", "--instance_capacity", str(1 << 13),
                 "--max_per_tile", "256", "--capacity", "1024",
                 "--test_iterations", "10", "--save_iterations", "10",
-                "--disable_viewer", "--quiet",
+                "--disable_viewer", "--quiet", "--debug_from", "1",
             ]
         )
     finally:

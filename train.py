@@ -50,6 +50,18 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument(
+        "--debug_from", type=int, default=-1,
+        help="from this iteration on, synchronize every step and fail fast "
+        "on a non-finite loss (the reference's per-kernel CHECK_CUDA sync, "
+        "`auxiliary.h:178-185`, enabled at `--debug_from`)",
+    )
+    parser.add_argument(
+        "--detect_anomaly", action="store_true",
+        help="enable jax_debug_nans: every jitted program re-runs op-by-op "
+        "when it produces a NaN and raises at the op (the torch "
+        "autograd.set_detect_anomaly analogue, reference `train.py:263,58`)",
+    )
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -68,6 +80,11 @@ def main(argv=None):
     print(f"Optimizing {model_cfg.model_path}")
     os.makedirs(model_cfg.model_path, exist_ok=True)
     save_cfg_args(model_cfg.model_path, model_cfg)
+
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from gsplat_tpu.train.loop import train
 
@@ -104,6 +121,26 @@ def main(argv=None):
                 gui_hook(iteration, state, metrics)
 
         on_iteration = profile_hook
+
+    if args.debug_from >= 0:
+        import math
+
+        import jax
+
+        inner_hook = on_iteration
+
+        def debug_hook(iteration, state, metrics):
+            if iteration >= args.debug_from:
+                jax.block_until_ready(metrics)
+                loss = float(metrics["loss"])
+                if not math.isfinite(loss):
+                    raise FloatingPointError(
+                        f"[debug] non-finite loss at iteration {iteration}: {loss}"
+                    )
+            if inner_hook:
+                inner_hook(iteration, state, metrics)
+
+        on_iteration = debug_hook
     try:
         state, scene, results = train(
             model_cfg,
