@@ -58,8 +58,12 @@ def model_path_of(train_args):
 def run_once(train_args, log_f):
     """Launch train.py in its own process group; return the Popen."""
     cmd = [sys.executable, "train.py"] + train_args
+    # unbuffered child stdout: with a pipe/file the child block-buffers in
+    # 8KB chunks, so progress lines can sit unflushed for minutes and the
+    # watchdog would see a false stall
+    env = {**os.environ, "PYTHONUNBUFFERED": "1"}
     return subprocess.Popen(
-        cmd, stdout=log_f, stderr=subprocess.STDOUT, start_new_session=True
+        cmd, stdout=log_f, stderr=subprocess.STDOUT, start_new_session=True, env=env
     )
 
 
