@@ -273,6 +273,16 @@ def train(
                 if tb is not None:
                     tb.add_scalar("test/loss_viewpoint - l1_loss", ev["l1"], iteration)
                     tb.add_scalar("test/loss_viewpoint - psnr", ev["psnr"], iteration)
+            # a handful of TRAIN views too, like training_report's second
+            # config (`train.py:220`: cameras 5,10,...,25 modulo len)
+            sel = [train_cams[i % len(train_cams)] for i in range(5, 30, 5)]
+            evt = evaluate_test(state, sel, settings_for(active_sh), bg_color)
+            if evt:
+                results.setdefault("train", {})[iteration] = evt
+                print(f"[ITER {iteration}] train: L1 {evt['l1']:.5f} PSNR {evt['psnr']:.2f}\n")
+                if tb is not None:
+                    tb.add_scalar("train/loss_viewpoint - l1_loss", evt["l1"], iteration)
+                    tb.add_scalar("train/loss_viewpoint - psnr", evt["psnr"], iteration)
 
         # Densification cadence (`train.py:163-174`)
         if iteration < opt.densify_until_iter:
