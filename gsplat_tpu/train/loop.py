@@ -283,6 +283,12 @@ def train(
                 if tb is not None:
                     tb.add_scalar("train/loss_viewpoint - l1_loss", evt["l1"], iteration)
                     tb.add_scalar("train/loss_viewpoint - psnr", evt["psnr"], iteration)
+            if tb is not None:
+                # scene/opacity_histogram + total_points (`train.py:248-250`)
+                alive_np = np.asarray(state.alive)
+                op = 1.0 / (1.0 + np.exp(-np.asarray(state.params.opacity)[alive_np, 0]))
+                tb.add_histogram("scene/opacity_histogram", op, iteration)
+                tb.add_scalar("total_points", int(alive_np.sum()), iteration)
 
         # Densification cadence (`train.py:163-174`)
         if iteration < opt.densify_until_iter:
