@@ -13,6 +13,11 @@ mipnerf360_outdoor_scenes = ["bicycle", "flowers", "garden", "stump", "treehill"
 mipnerf360_indoor_scenes = ["room", "counter", "kitchen", "bonsai"]
 tanks_and_temples_scenes = ["truck", "train"]
 deep_blending_scenes = ["drjohnson", "playroom"]
+# the dataset the reference bundles in-repo (`nerf_synthetic/README.txt`) —
+# not part of its 13-scene harness, but the only one always available
+nerf_synthetic_scenes = [
+    "chair", "drums", "ficus", "hotdog", "lego", "materials", "mic", "ship",
+]
 
 
 def main(argv=None):
@@ -24,6 +29,18 @@ def main(argv=None):
     parser.add_argument("--mipnerf360", "-m360", type=str, default=None)
     parser.add_argument("--tanksandtemples", "-tat", type=str, default=None)
     parser.add_argument("--deepblending", "-db", type=str, default=None)
+    parser.add_argument(
+        "--synthetic", "-ns", type=str, default=None,
+        help="NeRF-synthetic root (white background, 800x800 Blender scenes)",
+    )
+    parser.add_argument(
+        "--scenes", nargs="+", type=str, default=None,
+        help="restrict to these scene names",
+    )
+    parser.add_argument(
+        "--iterations", type=int, default=30000,
+        help="training iterations per scene (test/render at 7000 and this)",
+    )
     parser.add_argument("--backend", type=str, default="pallas")
     args, _ = parser.parse_known_args(argv)
 
@@ -46,23 +63,34 @@ def main(argv=None):
         scenes += [
             (os.path.join(args.deepblending, s), None, s) for s in deep_blending_scenes
         ]
+    if args.synthetic:
+        scenes += [
+            (os.path.join(args.synthetic, s), None, s)
+            for s in nerf_synthetic_scenes
+        ]
+    if args.scenes:
+        scenes = [sc for sc in scenes if sc[2] in set(args.scenes)]
     if not scenes:
-        parser.error("pass at least one of -m360 / -tat / -db dataset roots")
+        parser.error("pass at least one of -m360 / -tat / -db / -ns dataset roots")
 
     os.makedirs(args.output_path, exist_ok=True)
 
     if not args.skip_training:
         import time
 
+        iters = sorted({7000, args.iterations})
+        iters_s = " ".join(str(i) for i in iters)
         common = (
-            " --quiet --eval --test_iterations 7000 30000 "
-            f"--backend {args.backend} --disable_viewer"
+            f" --quiet --eval --iterations {args.iterations}"
+            f" --test_iterations {iters_s} --save_iterations {iters_s} "
+            f"--backend {args.backend} --disable_viewer --checkpoint_every 500"
         )
         start = time.time()
         for src, images, name in scenes:
             img_flag = f" -i {images}" if images else ""
+            white = " -w" if args.synthetic and src.startswith(args.synthetic) else ""
             rc = os.system(
-                f"{sys.executable} train.py -s {src}{img_flag} "
+                f"{sys.executable} scripts/train_supervised.py -- -s {src}{img_flag}{white} "
                 f"-m {args.output_path}/{name}{common}"
             )
             if rc != 0:
@@ -72,7 +100,7 @@ def main(argv=None):
 
     if not args.skip_rendering:
         for src, images, name in scenes:
-            for it in (7000, 30000):
+            for it in sorted({7000, args.iterations}):
                 os.system(
                     f"{sys.executable} render.py --iteration {it} "
                     f"-s {src} -m {args.output_path}/{name} --eval --skip_train"
