@@ -32,11 +32,11 @@ def quantize_capacity(n: int, floor: int = 1 << 17) -> int:
     n = max(int(n), floor)
     e = int(n - 1).bit_length() - 1  # 2^e < n <= 2^(e+1)
     base = 1 << e
-    for m_num in (5, 6, 7, 8):  # 1.25, 1.5, 1.75, 2.0 x base
+    for m_num in (5, 6, 7):  # 1.25, 1.5, 1.75 x base
         rung = base * m_num // 4
         if rung >= n:
             return rung
-    return 2 * base
+    return 2 * base  # n <= 2^(e+1) by construction
 
 
 def round128(n: int) -> int:

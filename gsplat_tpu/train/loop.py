@@ -35,7 +35,10 @@ from gsplat_tpu.train.step import (
 from gsplat_tpu.utils.general import expon_lr_func
 
 
-def _device_batch(cam, _cache={}):
+_PIXEL_CACHE = {}
+
+
+def _device_batch(cam, _cache=_PIXEL_CACHE):
     """Ship one LoadedCamera's pixel data to device, cached per camera.
 
     Device residency matters doubly here: the reference keeps every camera's
@@ -62,8 +65,14 @@ def _device_batch(cam, _cache={}):
 
 
 def _device_gt(cam, _cache={}):
-    """gt-only device cache for eval loops (test views never need masks)."""
+    """gt-only device cache for eval loops (test views never need masks).
+
+    Train views evaluated mid-training are already resident via
+    _device_batch — reuse that copy instead of shipping a second one."""
     key = (id(cam.image), cam.uid)
+    full = _PIXEL_CACHE.get(key)
+    if full is not None:
+        return full[0]
     if key not in _cache:
         _cache[key] = jnp.asarray(cam.image)
     return _cache[key]
@@ -90,23 +99,42 @@ def load_checkpoint(path):
     return jax.tree.map(jnp.asarray, blob["state"]), blob["iteration"]
 
 
+_EVAL_FNS = {}
+
+
+def _eval_fn(settings):
+    """Jitted eval render, cached per settings (a fresh jit closure per
+    evaluate_test call would retrace — and the test- and train-view sweeps
+    at the same iteration share one compiled program this way). Keyed by
+    (treedef, leaf values): the treedef carries every static field and
+    settings itself is unhashable (scale_modifier is an array leaf)."""
+    settings_key = (
+        jax.tree.structure(settings),
+        tuple(float(x) for x in jax.tree.leaves(settings)),
+    )
+    if settings_key not in _EVAL_FNS:
+
+        @jax.jit
+        def eval_one(camera, params, alive, gt, bg):
+            out = render(camera, params, alive, settings, bg)
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            return losses.l1_loss(img, gt), losses.psnr(img, gt)
+
+        _EVAL_FNS[settings_key] = eval_one
+    return _EVAL_FNS[settings_key]
+
+
 def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=None):
     """L1/PSNR over held-out views (`train.py:214-252` training_report)."""
     if max_views:
         cameras = cameras[:max_views]
     if not cameras:
         return None
-
-    @jax.jit
-    def eval_one(camera, params, alive, gt):
-        out = render(camera, params, alive, settings, bg)
-        img = jnp.clip(out["render"], 0.0, 1.0)
-        return losses.l1_loss(img, gt), losses.psnr(img, gt)
-
+    eval_one = _eval_fn(settings)
     l1s, psnrs = [], []
     for cam in cameras:
         gt = _device_gt(cam)  # cached device upload (tunnel is slow)
-        l1, ps = eval_one(cam.camera, state.params, state.alive, gt)
+        l1, ps = eval_one(cam.camera, state.params, state.alive, gt, bg)
         l1s.append(float(l1))
         psnrs.append(float(ps))
     return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
@@ -284,11 +312,11 @@ def train(
                     tb.add_scalar("train/loss_viewpoint - l1_loss", evt["l1"], iteration)
                     tb.add_scalar("train/loss_viewpoint - psnr", evt["psnr"], iteration)
             if tb is not None:
-                # scene/opacity_histogram + total_points (`train.py:248-250`)
+                # scene/opacity_histogram (`train.py:248-250`; total_points
+                # is already written on every log iteration below)
                 alive_np = np.asarray(state.alive)
                 op = 1.0 / (1.0 + np.exp(-np.asarray(state.params.opacity)[alive_np, 0]))
                 tb.add_histogram("scene/opacity_histogram", op, iteration)
-                tb.add_scalar("total_points", int(alive_np.sum()), iteration)
 
         # Densification cadence (`train.py:163-174`)
         if iteration < opt.densify_until_iter:
