@@ -81,3 +81,47 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_sharded_train_step_matches_single_device(setup, mesh_shape):
+    """The GSPMD train step on a multi-chip mesh must compute the SAME
+    parameter update as the single-device step — the partitioner-placed
+    gradient psum over tile shards is a reduction reorder, so tolerances
+    are float-accumulation level, not bit-exact."""
+    from gsplat_tpu.config import OptimizationConfig
+    from gsplat_tpu.parallel.sharding import sharded_train_step
+    from gsplat_tpu.train.step import init_train_state, make_train_step
+
+    params, camera, alive, settings = setup
+    opt = OptimizationConfig()
+    h, w = camera.height, camera.width
+    rng = np.random.default_rng(7)
+    gt = jnp.asarray(rng.random((h, w, 3), np.float32))
+    mask = jnp.ones((h, w, 1), jnp.float32)
+    invd = jnp.zeros((h, w), jnp.float32)
+    dmask = jnp.zeros((h, w), jnp.float32)
+    bg = jnp.zeros(3)
+    args = (camera, gt, mask, invd, dmask, bg,
+            jnp.float32(1e-3), jnp.float32(1e-3), jnp.float32(0.0), jnp.int32(0))
+
+    base_step = make_train_step(opt, settings)
+    s0 = init_train_state(params, alive, num_images=4)
+    ref_state, ref_metrics = base_step(s0, *args)
+
+    mesh = make_mesh(*mesh_shape)
+    step, place_state = sharded_train_step(mesh, opt, settings)
+    sh_state, sh_metrics = step(place_state(init_train_state(params, alive, num_images=4)), *args)
+
+    np.testing.assert_allclose(
+        float(sh_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
+        a = np.asarray(getattr(sh_state.params, name))
+        b = np.asarray(getattr(ref_state.params, name))
+        np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f"params.{name}")
+    np.testing.assert_allclose(
+        np.asarray(sh_state.stats["grad_accum"]),
+        np.asarray(ref_state.stats["grad_accum"]),
+        atol=1e-5,
+    )
