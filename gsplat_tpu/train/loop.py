@@ -135,9 +135,14 @@ def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=No
     for cam in cameras:
         gt = _device_gt(cam)  # cached device upload (tunnel is slow)
         l1, ps = eval_one(cam.camera, state.params, state.alive, gt, bg)
-        l1s.append(float(l1))
-        psnrs.append(float(ps))
-    return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+        # keep device scalars; float()-ing here would pay one tunnel round
+        # trip per view (dispatch is async, the sweep pipelines without it)
+        l1s.append(l1)
+        psnrs.append(ps)
+    return {
+        "l1": float(np.mean(jax.device_get(l1s))),
+        "psnr": float(np.mean(jax.device_get(psnrs))),
+    }
 
 
 def train(
