@@ -34,16 +34,8 @@ def render_set(model_path, name, iteration, cameras, params, alive, settings, bg
         )
     else:
         jitted = jax.jit(lambda cam, p, a: render_fn(cam, p, a, settings, bg))
-    for idx, cam in enumerate(cameras):
-        if use_exposure and exposures is not None:
-            exp = jnp.asarray(
-                exposures.get(cam.image_name, np.eye(3, 4, dtype=np.float32))
-            )
-            out = jitted(cam.camera, params, alive, exp)
-        else:
-            out = jitted(cam.camera, params, alive)
-        img = np.asarray(out["render"])
-        gt = cam.image
+    def write_view(idx, out, gt):
+        img = np.asarray(out["render"])  # device->host sync happens here
         if use_exposure:  # reference keeps only the right half in train_test_exp mode
             img = img[:, img.shape[1] // 2 :]
             gt = gt[:, gt.shape[1] // 2 :]
@@ -53,6 +45,23 @@ def render_set(model_path, name, iteration, cameras, params, alive, settings, bg
         Image.fromarray((np.clip(gt, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(gt_dir, f"{idx:05d}.png")
         )
+
+    # one-deep pipeline: dispatch view i+1 (async) before syncing/encoding
+    # view i, so PNG encoding overlaps the device render
+    pending = None
+    for idx, cam in enumerate(cameras):
+        if use_exposure and exposures is not None:
+            exp = jnp.asarray(
+                exposures.get(cam.image_name, np.eye(3, 4, dtype=np.float32))
+            )
+            out = jitted(cam.camera, params, alive, exp)
+        else:
+            out = jitted(cam.camera, params, alive)
+        if pending is not None:
+            write_view(*pending)
+        pending = (idx, out, cam.image)
+    if pending is not None:
+        write_view(*pending)
 
 
 def main(argv=None):
