@@ -14,6 +14,7 @@ import pickle
 import random
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -91,6 +92,27 @@ def save_checkpoint(path, state, iteration):
     with open(tmp, "wb") as f:
         pickle.dump({"state": host_state, "iteration": iteration}, f)
     os.replace(tmp, path)
+
+
+# Rolling recovery checkpoints run on a single worker thread: the ~100MB
+# device->host fetch over the TPU tunnel plus the pickle write stall the
+# train loop ~5s each (measured it-4500 hiccup), ~60x per 30k run. The
+# state pytree is immutable (functional updates), so fetching it
+# concurrently with ongoing steps is race-free; one worker serializes
+# writes so the atomic tmp+rename never interleaves.
+_CKPT_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+_ckpt_pending: list = []
+
+
+def save_checkpoint_async(path, state, iteration):
+    _ckpt_flush()  # keep at most one in flight; skip is better than a queue
+    _ckpt_pending.append(_CKPT_POOL.submit(save_checkpoint, path, state, iteration))
+
+
+def _ckpt_flush():
+    """Surface exceptions from (and wait for) any in-flight checkpoint."""
+    while _ckpt_pending:
+        _ckpt_pending.pop().result()
 
 
 def load_checkpoint(path):
@@ -411,12 +433,13 @@ def train(
         ):
             # rolling checkpoint for stall/crash recovery (overwritten in
             # place; `scripts/train_supervised.py` resumes from it)
-            save_checkpoint(
+            save_checkpoint_async(
                 os.path.join(scene.model_path, "rolling_chkpnt.pkl"), state, iteration
             )
         if on_iteration is not None:
             on_iteration(iteration, state, metrics)
 
+    _ckpt_flush()
     if tb is not None:
         tb.close()
     results["wall_s"] = time.time() - t0

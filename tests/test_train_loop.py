@@ -188,3 +188,63 @@ def test_gaussian_capacity_grows_during_densification(mini_blender, monkeypatch)
     assert state.params.capacity > 1024  # growth fired
     assert int(np.asarray(state.alive).sum()) > 500
     assert np.isfinite(results["test"][16]["psnr"])
+
+
+def test_rolling_checkpoint_and_resume(mini_blender, monkeypatch, tmp_path):
+    """checkpoint_every writes the rolling checkpoint asynchronously; a
+    fresh train() resumed from it continues at the right iteration with the
+    full state (params AND Adam moments) intact."""
+    import jax.numpy as jnp
+
+    import gsplat_tpu.data.readers as readers
+    import gsplat_tpu.train.loop as loop_mod
+
+    orig = readers.read_blender_scene_info
+
+    def small_scene(path, **kw):
+        info = orig(path, **kw)
+        rng = np.random.default_rng(0)
+        n = 256
+        info.points = (rng.random((n, 3)) * 2.6 - 1.3).astype(np.float32)
+        info.colors = rng.random((n, 3)).astype(np.float32)
+        info.normals = np.zeros((n, 3), np.float32)
+        return info
+
+    monkeypatch.setattr(readers, "read_blender_scene_info", small_scene)
+    monkeypatch.setitem(
+        readers.read_scene_info.__globals__, "read_blender_scene_info", small_scene
+    )
+
+    model_cfg = ModelConfig(
+        source_path=mini_blender, model_path=str(tmp_path / "m"),
+        white_background=True, eval=True, sh_degree=1,
+    )
+    opt = OptimizationConfig(iterations=8, densify_from_iter=100)
+    pipe = PipelineConfig(
+        backend="jnp", instance_capacity=1 << 13, max_per_tile=256, capacity=1024
+    )
+    train = loop_mod.train
+    state8, _, _ = train(
+        model_cfg, opt, pipe, testing_iterations=(), saving_iterations=(),
+        quiet=True, checkpoint_every=4,
+    )
+    rolling = os.path.join(model_cfg.model_path, "rolling_chkpnt.pkl")
+    assert os.path.exists(rolling)
+    loaded, it = loop_mod.load_checkpoint(rolling)
+    assert it == 8  # flushed at train end, so it holds the LAST multiple of 4
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params.xyz), np.asarray(state8.params.xyz)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.adam_m.xyz), np.asarray(state8.adam_m.xyz)
+    )
+
+    # resume for 4 more iterations; params must keep training (change)
+    opt12 = dataclasses.replace(opt, iterations=12)
+    state12, _, _ = train(
+        model_cfg, opt12, pipe, testing_iterations=(), saving_iterations=(),
+        quiet=True, start_checkpoint=rolling,
+    )
+    assert not np.allclose(
+        np.asarray(state12.params.xyz), np.asarray(state8.params.xyz)
+    )
