@@ -252,7 +252,7 @@ def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -437,11 +437,11 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, t
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # inst_t
+            pl.BlockSpec(memory_space=pl.ANY),  # inst_t
             pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # dinst (16, K)
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # dinst (16, K)
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
             pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),  # grads stay f32

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gsplat_tpu.core.types import Camera, GaussianParams, RenderSettings
 from gsplat_tpu.ops.binning import bin_gaussians
@@ -107,7 +107,7 @@ def make_sharded_render(mesh: Mesh, settings: RenderSettings, width: int, height
         mesh=mesh,
         in_specs=(pspec, P("gauss"), P(), P()),
         out_specs=(P("tile"), P("tile"), P("gauss"), P("tile")),
-        check_rep=False,
+        check_vma=False,
     )
 
     def render_fn(camera: Camera, params: GaussianParams, alive, bg):
