@@ -59,9 +59,14 @@ def evaluate(model_paths):
             ssims, psnrs, lpipss = [], [], []
             for r, g in zip(renders, gts):
                 rj, gj = jnp.asarray(r), jnp.asarray(g)
-                ssims.append(float(ssim_j(rj, gj)))
-                psnrs.append(float(psnr_j(rj, gj)))
-                lpipss.append(float(lpips_j(rj, gj)) if lpips_j else None)
+                # device scalars; one host sync for the whole sweep below
+                ssims.append(ssim_j(rj, gj))
+                psnrs.append(psnr_j(rj, gj))
+                lpipss.append(lpips_j(rj, gj) if lpips_j else None)
+            ssims = [float(x) for x in jax.device_get(ssims)]
+            psnrs = [float(x) for x in jax.device_get(psnrs)]
+            if lpips_j:
+                lpipss = [float(x) for x in jax.device_get(lpipss)]
             mean = lambda xs: float(np.mean([x for x in xs if x is not None])) if any(
                 x is not None for x in xs
             ) else None
