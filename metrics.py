@@ -95,7 +95,18 @@ def main(argv=None):
     parser.add_argument(
         "--model_paths", "-m", required=True, nargs="+", type=str
     )
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="compute metrics on host CPU instead of the accelerator "
+        "(SSIM/PSNR are bandwidth-trivial; avoids uploading every PNG to "
+        "the device, which dominates wall time on remote-attached chips)",
+    )
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     evaluate(args.model_paths)
     return 0
 
