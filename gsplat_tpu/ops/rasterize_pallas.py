@@ -14,16 +14,17 @@ early exit — becomes, per tile (one pallas grid step):
   re-laying the instances into aligned per-tile segments, because every
   capacity-proportional pass (the pack row-gather, the backward scatter)
   pays ~17ns/row and alignment padding inflated the buffer by a third;
-- the transmittance recurrence T_{j+1} = T_j (1 - a_j) runs in log space as a
-  (256,128)x(128,128) triangular matmul on the MXU (a cumsum replaces the
-  serial dependency), and color accumulation is a (256,128)x(128,4) matmul;
+- the transmittance recurrence T_{j+1} = T_j (1 - a_j) becomes an inclusive
+  lane-axis cumprod via 7 doubling roll+multiply VPU steps (no
+  transcendentals, no serial dependency), and color accumulation is a
+  (256,128)x(128,4) matmul;
 - the 1e-4 early-stop is the mask "raw inclusive transmittance >= 1e-4",
   exact because the stop is permanent and raw == effective transmittance on
   the blended prefix (see rasterize_jnp.py);
 - the backward pass re-walks the chunks in forward order, turning the CUDA
   back-to-front `accum_rec` recurrence (`backward.cu:585-589`) into the
   algebraically-identical suffix sum S_total - prefix (computed with the same
-  triangular matmul), and writes *per-instance* gradients; the scatter-add
+  doubling-shift cumsum), and writes *per-instance* gradients; the scatter-add
   into per-gaussian gradients (CUDA atomicAdd, `backward.cu:593-635`) becomes
   a sorted `segment_sum` outside the kernel. A window chunk shared between
   two adjacent tiles (a range ending mid-chunk) is handed to the next tile
@@ -67,11 +68,21 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _tri_matrices():
-    """(128,128) inclusive lower-triangular ones: TRI[i,j] = 1 for i <= j."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (i <= j).astype(jnp.float32)
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the lane axis (axis=1) by doubling shifts.
+
+    Replaces a (256,128)x(128,128) lower-triangular f32 matmul: the MXU is
+    bf16-native, so the f32 matmul runs in multiple passes and dominated the
+    backward chunk loop; 7 roll+select+add VPU steps are ~10x cheaper and
+    accumulate in a tree order (comparable rounding to the MXU's)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    v = x
+    s = 1
+    while s < CHUNK:
+        shifted = pltpu.roll(v, s, axis=1)
+        v = v + jnp.where(lane >= s, shifted, 0.0)
+        s *= 2
+    return v
 
 
 def _cumprod_lanes(x):
@@ -130,7 +141,12 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
     t_incl = t_raw * cp_incl
     blended = t_incl >= T_EPS
     alpha_eff = jnp.where(blended, alpha, 0.0)
-    t_excl = t_incl / one_m  # alpha <= 0.99 -> one_m >= 0.01, exact division
+    # exclusive cumprod = inclusive shifted right one lane (lane 0 -> 1);
+    # replaces a (256,128) divide per chunk (t_incl/one_m) and is the more
+    # accurate form: the true product of the preceding (1-alpha), not the
+    # division's rounded reconstruction of it
+    cp_excl = jnp.where(lane >= 1, pltpu.roll(cp_incl, 1, axis=1), 1.0)
+    t_excl = t_raw * cp_excl
     w = alpha_eff * t_excl
 
     return dict(
@@ -333,10 +349,7 @@ def _bwd_kernel(
         )  # (256,128)
 
         wc = q["w"] * c
-        tri = _tri_matrices()
-        prefix_incl = prefix + jax.lax.dot_general(
-            wc, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (256,128) running sum_{k<=j} w_k c_k
+        prefix_incl = prefix + _cumsum_lanes(wc)  # (256,128) running sum_{k<=j} w_k c_k
         suffix = s_total - prefix_incl
 
         gate = q["blended"] & q["keep"]

@@ -61,6 +61,63 @@ def main():
     t, _ = timeit(grad_f, params, alive)
     print(f"full fwd+bwd         {t*1e3:8.2f} ms   -> {width*height/t/1e6:.2f} Mpix/s")
 
+    if "--micro" not in sys.argv:
+        return
+
+    # ---- in-pipeline micro-attribution of the glue primitives (run AFTER the
+    # real pipeline above: fresh-process microbenchmarks report fake-fast
+    # times on this image) ----
+    k = settings.instance_capacity
+    n_gauss = params.xyz.shape[0]
+    gid = bins.gauss_id
+    key = jax.random.PRNGKey(0)
+    table16 = jax.random.normal(key, (n_gauss, 16), jnp.float32)
+    rows16 = jax.random.normal(key, (k, 16), jnp.float32)
+    rows8 = rows16[:, :8]
+    tile_key = bins.tile_id
+    iota_n = jnp.arange(n_gauss, dtype=jnp.int32)
+    iota_k = jnp.arange(k, dtype=jnp.int32)
+    depth = jax.random.uniform(key, (n_gauss,), jnp.float32)
+    scat_idx = jnp.sort(jax.random.randint(key, (n_gauss,), 0, k))
+
+    cases = {
+        "row-gather (K,16)": jax.jit(lambda g: table16[g]),
+        "segment_sum (K,16)->N": jax.jit(
+            lambda r, g: jax.ops.segment_sum(r, g, num_segments=n_gauss)
+        ),
+        "inst sort key+1col": jax.jit(
+            lambda tk, g: jax.lax.sort((tk, g), num_keys=1, is_stable=True)
+        ),
+        "inst sort key+16col": jax.jit(
+            lambda tk, r: jax.lax.sort(
+                (tk,) + tuple(r[:, i] for i in range(16)), num_keys=1, is_stable=True
+            )
+        ),
+        "depth sort (N)": jax.jit(
+            lambda d, i: jax.lax.sort((d, i), num_keys=1, is_stable=True)
+        ),
+        "cumsum (K,8)": jax.jit(lambda r: jnp.cumsum(r, axis=0)),
+        "delta-scatter (N)->(K,8)": jax.jit(
+            lambda r, s: jnp.zeros((k + 1, 8), jnp.float32).at[s].add(
+                jnp.pad(r[:, :8], ((0, 0), (0, 0))), mode="drop"
+            )
+        ),
+        "transpose (K,16)->(16,K)": jax.jit(lambda r: r.T.copy()),
+    }
+    argmap = {
+        "row-gather (K,16)": (gid,),
+        "segment_sum (K,16)->N": (rows16, gid),
+        "inst sort key+1col": (tile_key, gid),
+        "inst sort key+16col": (tile_key, rows16),
+        "depth sort (N)": (depth, iota_n),
+        "cumsum (K,8)": (rows8,),
+        "delta-scatter (N)->(K,8)": (table16[:, :8], scat_idx),
+        "transpose (K,16)->(16,K)": (rows16,),
+    }
+    for name, fn in cases.items():
+        t, _ = timeit(fn, *argmap[name], iters=5)
+        print(f"micro {name:<28} {t*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
