@@ -56,6 +56,10 @@ class PipelineConfig:
     instance_capacity: int = 0
     max_per_tile: int = 4096
     capacity: int = 0  # 0 -> auto from init point count
+    # "GxT" (e.g. "4x2") trains SPMD over a (gauss=G, tile=T) device mesh
+    # (`parallel/sharding.py`); "" = single device. G*T must equal the
+    # visible device count.
+    mesh: str = ""
 
 
 @dataclass(frozen=True)

@@ -97,6 +97,30 @@ def sharded_render(mesh: Mesh, settings: RenderSettings):
     return _render
 
 
+def train_state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for a TrainState: model-row leaves on "gauss",
+    everything else replicated."""
+    gauss = NamedSharding(mesh, P("gauss"))
+    repl = NamedSharding(mesh, P())
+    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), param_spec())
+    return state.replace(
+        params=pspec,
+        adam_m=pspec,
+        adam_v=pspec,
+        alive=gauss,
+        adam_counts=gauss,
+        stats=jax.tree.map(lambda _: gauss, state.stats),
+        exposure=repl, exp_m=repl, exp_v=repl, exp_step=repl,
+        rng=repl, step=repl,
+    )
+
+
+def place_train_state(mesh: Mesh, state):
+    """Commit a TrainState to the mesh (initially, and after any
+    gaussian-capacity resize, whose padded rows arrive host-placed)."""
+    return jax.device_put(state, train_state_shardings(mesh, state))
+
+
 def sharded_train_step(mesh: Mesh, opt, settings: RenderSettings, use_exposure=False):
     """The fully-jitted train step compiled for a multi-chip mesh.
 
@@ -113,30 +137,10 @@ def sharded_train_step(mesh: Mesh, opt, settings: RenderSettings, use_exposure=F
 
     base_step = make_train_step(opt, settings, use_exposure=use_exposure)
 
-    gauss = NamedSharding(mesh, P("gauss"))
     tile_rows = NamedSharding(mesh, P("tile"))
-    repl = NamedSharding(mesh, P())
-    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), param_spec())
-
-    def state_shardings(state):
-        def leaf_spec(leaf):
-            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == state.params.capacity:
-                return gauss
-            return repl
-
-        return state.replace(
-            params=pspec,
-            adam_m=pspec,
-            adam_v=pspec,
-            alive=gauss,
-            adam_counts=gauss,
-            stats=jax.tree.map(lambda _: gauss, state.stats),
-            exposure=repl, exp_m=repl, exp_v=repl, exp_step=repl,
-            rng=repl, step=repl,
-        )
 
     def place_state(state):
-        return jax.device_put(state, state_shardings(state))
+        return place_train_state(mesh, state)
 
     @jax.jit
     def step(state, camera, gt, mask, invd, dmask, bg, xyz_lr, exp_lr, depth_w, exp_idx):

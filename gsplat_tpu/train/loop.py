@@ -240,14 +240,33 @@ def train(
             backend=pipe.backend,
         )
 
+    mesh = None
+    if pipe.mesh:
+        from gsplat_tpu.parallel.sharding import (
+            make_mesh,
+            place_train_state,
+            sharded_train_step,
+        )
+
+        g_axis, t_axis = (int(x) for x in pipe.mesh.lower().split("x"))
+        mesh = make_mesh(g_axis, t_axis)
+        print(f"[mesh] training SPMD over gauss={g_axis} x tile={t_axis} "
+              f"({len(jax.devices())} devices)")
+        state = place_train_state(mesh, state)
+
     step_cache = {}
 
     def step_fn(active_sh):
         key = (active_sh, inst_cap)
         if key not in step_cache:
-            step_cache[key] = make_train_step(
-                opt, settings_for(active_sh), use_exposure=use_exposure
-            )
+            if mesh is not None:
+                step_cache[key], _ = sharded_train_step(
+                    mesh, opt, settings_for(active_sh), use_exposure=use_exposure
+                )
+            else:
+                step_cache[key] = make_train_step(
+                    opt, settings_for(active_sh), use_exposure=use_exposure
+                )
         return step_cache[key]
 
     densify_step = make_densify_step(opt)
@@ -362,6 +381,10 @@ def train(
                     new_gcap = gauss_ctl.update(n_alive, int(dinfo["n_dropped"]))
                     if new_gcap is not None:
                         state = resize_train_state(state, new_gcap)
+                        if mesh is not None:
+                            from gsplat_tpu.parallel.sharding import place_train_state
+
+                            state = place_train_state(mesh, state)
                         print(
                             f"[auto] it {iteration}: alive {n_alive} — "
                             f"gaussian capacity -> {new_gcap}"
