@@ -248,7 +248,12 @@ def train(
             sharded_train_step,
         )
 
-        g_axis, t_axis = (int(x) for x in pipe.mesh.lower().split("x"))
+        parts = pipe.mesh.lower().split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise ValueError(
+                f"--mesh must be 'GxT' (e.g. 4x2), got {pipe.mesh!r}"
+            )
+        g_axis, t_axis = int(parts[0]), int(parts[1])
         mesh = make_mesh(g_axis, t_axis)
         print(f"[mesh] training SPMD over gauss={g_axis} x tile={t_axis} "
               f"({len(jax.devices())} devices)")
@@ -382,8 +387,6 @@ def train(
                     if new_gcap is not None:
                         state = resize_train_state(state, new_gcap)
                         if mesh is not None:
-                            from gsplat_tpu.parallel.sharding import place_train_state
-
                             state = place_train_state(mesh, state)
                         print(
                             f"[auto] it {iteration}: alive {n_alive} — "

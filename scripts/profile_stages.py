@@ -76,7 +76,6 @@ def main():
     rows8 = rows16[:, :8]
     tile_key = bins.tile_id
     iota_n = jnp.arange(n_gauss, dtype=jnp.int32)
-    iota_k = jnp.arange(k, dtype=jnp.int32)
     depth = jax.random.uniform(key, (n_gauss,), jnp.float32)
     scat_idx = jnp.sort(jax.random.randint(key, (n_gauss,), 0, k))
 
@@ -98,9 +97,7 @@ def main():
         ),
         "cumsum (K,8)": jax.jit(lambda r: jnp.cumsum(r, axis=0)),
         "delta-scatter (N)->(K,8)": jax.jit(
-            lambda r, s: jnp.zeros((k + 1, 8), jnp.float32).at[s].add(
-                jnp.pad(r[:, :8], ((0, 0), (0, 0))), mode="drop"
-            )
+            lambda r, s: jnp.zeros((k + 1, 8), jnp.float32).at[s].add(r, mode="drop")
         ),
         "transpose (K,16)->(16,K)": jax.jit(lambda r: r.T.copy()),
     }
