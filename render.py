@@ -119,6 +119,18 @@ def main(argv=None):
     )
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
 
+    if pipe_cfg.mesh:
+        # distribute the render over a (gauss x tile) device mesh: params
+        # row-sharded, per-view jit auto-partitioned by GSPMD
+        from gsplat_tpu.parallel.sharding import make_mesh, shard_params
+
+        parts = pipe_cfg.mesh.lower().split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise ValueError(f"--mesh must be 'GxT' (e.g. 4x2), got {pipe_cfg.mesh!r}")
+        mesh = make_mesh(int(parts[0]), int(parts[1]))
+        params, alive = shard_params(params, alive, mesh)
+        print(f"[mesh] rendering over gauss={parts[0]} x tile={parts[1]}")
+
     if not args.skip_train:
         render_set(
             model_cfg.model_path, "train", iteration, scene.get_train_cameras(),
