@@ -216,29 +216,69 @@ def preprocess(
     if mean2d_offset is not None:
         point_image = point_image + mean2d_offset
 
-    # C-style truncating casts, then clamp — matches getRect (auxiliary.h:45-55)
-    rmin_x = jnp.clip(((point_image[:, 0] - radius_f) / tile).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((point_image[:, 1] - radius_f) / tile).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(
-        ((point_image[:, 0] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_x
-    )
-    rmax_y = jnp.clip(
-        ((point_image[:, 1] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_y
-    )
-    tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
-    valid = valid & (tiles_touched > 0)
+    op_eff = opacities * h_conv_scaling
+    ln_term = jnp.log(jnp.maximum(op_eff * 255.0, 1e-12))
+    cull_r2 = 2.0 * lambda1 * ln_term
+    cull_r2 = cull_r2 + 4.0 + 0.0625 * jnp.abs(cull_r2)  # conservative margin
+
+    # --- reference-rect visibility (getRect, auxiliary.h:45-55): radius and
+    # the survivor mask keep the reference's 3*sigma-circle semantics so
+    # visibility_filter / max_radii2D densification stats match (`train.py:166`)
+    def rect_counts(rx, ry):
+        # C-style truncating casts, then clamp — matches getRect
+        rmin_x = jnp.clip(((point_image[:, 0] - rx) / tile).astype(jnp.int32), 0, grid_x)
+        rmin_y = jnp.clip(((point_image[:, 1] - ry) / tile).astype(jnp.int32), 0, grid_y)
+        rmax_x = jnp.clip(
+            ((point_image[:, 0] + rx + tile - 1) / tile).astype(jnp.int32), 0, grid_x
+        )
+        rmax_y = jnp.clip(
+            ((point_image[:, 1] + ry + tile - 1) / tile).astype(jnp.int32), 0, grid_y
+        )
+        return rmin_x, rmin_y, rmax_x, rmax_y
+
+    ref_min_x, ref_min_y, ref_max_x, ref_max_y = rect_counts(radius_f, radius_f)
+    tiles_ref = (ref_max_x - ref_min_x) * (ref_max_y - ref_min_y)
+    valid = valid & (tiles_ref > 0)
+
+    if settings.tight_cull:
+        # --- tight emission rect: instances are emitted from the
+        # opacity-aware ellipse AABB instead of the 3*sigma circle.
+        # Exact-conservative: the blend keeps a pixel only if
+        # alpha = op_eff*exp(-q/2) >= 1/255 with q(dx,dy) >= dx^2/cov_xx (the
+        # marginal bound of the dilated quadratic), so every pixel with
+        # |dx| > sqrt(2*cov_xx*ln(255*op_eff)) blends to exactly zero,
+        # forward and backward — dropping those tiles changes neither renders
+        # nor gradients (same argument as cull_r2 above, per axis). The
+        # margin absorbs f32 rounding; op_eff*255 < 1 emits nothing.
+        vis = op_eff * 255.0 >= 0.999999
+        rx2 = 2.0 * covd[:, 0] * ln_term
+        ry2 = 2.0 * covd[:, 2] * ln_term
+        # +1px: the exclusive-max rect formula ((p + r + tile - 1) / tile,
+        # truncating) can exclude a tile whose first pixel sits up to 1px
+        # inside r, so the extent itself must over-cover by a full pixel
+        rx = jnp.minimum(
+            radius_f,
+            1.0 + jnp.sqrt(jnp.maximum(rx2 + 4.0 + 0.0625 * jnp.abs(rx2), 0.0)),
+        )
+        ry = jnp.minimum(
+            radius_f,
+            1.0 + jnp.sqrt(jnp.maximum(ry2 + 4.0 + 0.0625 * jnp.abs(ry2), 0.0)),
+        )
+        rmin_x, rmin_y, rmax_x, rmax_y = rect_counts(rx, ry)
+        tiles_touched = jnp.where(
+            valid & vis, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0
+        )
+    else:
+        # reference rect emission (duplicateWithKeys structure parity)
+        rmin_x, rmin_y, rmax_x, rmax_y = ref_min_x, ref_min_y, ref_max_x, ref_max_y
+        tiles_touched = jnp.where(valid, tiles_ref, 0)
 
     # --- SH -> RGB (forward.cu:20-71)
     features = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
     dirs = xyz - camera.camera_center
     rgb, _clamped = sh_lib.eval_sh_color(settings.sh_degree, features, dirs)
 
-    tiles_touched = jnp.where(valid, tiles_touched, 0)
     radius = jnp.where(valid, radius, 0)
-
-    op_eff = opacities * h_conv_scaling
-    cull_r2 = 2.0 * lambda1 * jnp.log(jnp.maximum(op_eff * 255.0, 1e-12))
-    cull_r2 = cull_r2 + 4.0 + 0.0625 * jnp.abs(cull_r2)  # conservative margin
 
     return ScreenGaussians(
         mean2d=point_image,

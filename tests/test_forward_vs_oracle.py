@@ -85,22 +85,38 @@ def test_preprocess_matches_oracle(rng, antialiasing):
         np.asarray(screen.opacity)[visible], oracle["opacity"][visible],
         rtol=1e-4, atol=1e-6,
     )
+    # default (tight_cull) settings emit from the opacity-aware ellipse AABB:
+    # rects must be CONTAINED in the reference rects (render/grad equivalence
+    # of the dropped tiles is covered by test_tight_cull_exact)
     rects = np.concatenate(
         [np.asarray(screen.rect_min), np.asarray(screen.rect_max)], axis=-1
     )
-    np.testing.assert_array_equal(rects[visible], oracle["rects"][visible])
+    ref = oracle["rects"][visible]
+    ours = rects[visible]
+    nonempty = (ours[:, 2] > ours[:, 0]) & (ours[:, 3] > ours[:, 1])
+    assert np.all(ours[nonempty][:, :2] >= ref[nonempty][:, :2])
+    assert np.all(ours[nonempty][:, 2:] <= ref[nonempty][:, 2:])
+
+    # reference-rect mode reproduces getRect exactly
+    screen_ref = preprocess(
+        params, alive, camera, settings.replace(tight_cull=False), gx, gy
+    )
+    rects_ref = np.concatenate(
+        [np.asarray(screen_ref.rect_min), np.asarray(screen_ref.rect_max)], axis=-1
+    )
+    np.testing.assert_array_equal(rects_ref[visible], oracle["rects"][visible])
 
 
 def test_binning_matches_oracle(rng):
     sc = make_test_scene(rng)
     params, camera, alive = scene_to_inputs(sc)
-    settings = make_render_settings(sh_degree=sc["sh_degree"])
-    gx, gy = grid_dims(camera, settings.tile)
-
-    screen = preprocess(params, alive, camera, settings, gx, gy)
     # tight_cull=False: this test checks the exact rect-based instance
     # structure of the reference (`duplicateWithKeys`); the tight-cull
     # mode's render/grad equivalence is covered by test_tight_cull_exact
+    settings = make_render_settings(sh_degree=sc["sh_degree"], tight_cull=False)
+    gx, gy = grid_dims(camera, settings.tile)
+
+    screen = preprocess(params, alive, camera, settings, gx, gy)
     bins = bin_gaussians(
         screen, gx, gy, settings.instance_capacity, settings.tile, tight_cull=False
     )
