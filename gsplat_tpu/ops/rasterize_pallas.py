@@ -233,30 +233,45 @@ def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, 
     init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
     init(t)
 
-    def body(ci, carry):
-        t_raw, t_eff, accum = carry
+    # Tile-level early stop (the vector analogue of the CUDA per-pixel `done`
+    # break, forward.cu:345-385): the live while-loop blends chunks until
+    # EVERY pixel's raw transmittance is below T_EPS (past that point no
+    # remaining instance can blend), then a drain loop keeps ONLY the fetch
+    # protocol running — the global chunk stream must consume every chunk in
+    # order regardless.
+    def live_cond(st):
+        ci, t_raw, _, _ = st
+        return (ci < nch) & (jnp.max(t_raw) >= T_EPS)
+
+    def live_body(st):
+        ci, t_raw, t_eff, accum = st
         g = base + ci
         blk = fetch(g).astype(jnp.float32)  # (16, 128)
         woff = g * CHUNK
         q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
-
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
         accum = accum + jax.lax.dot_general(
             q["w"], feat_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (256, 4)
-        return q["t_raw_next"], t_eff * q["eff_prod"], accum
+        return ci + 1, q["t_raw_next"], t_eff * q["eff_prod"], accum
 
-    t_raw, t_eff, accum = jax.lax.fori_loop(
-        0,
-        nch,
-        body,
+    ci, t_raw, t_eff, accum = jax.lax.while_loop(
+        live_cond,
+        live_body,
         (
+            jnp.int32(0),
             jnp.ones((PPT, 1), jnp.float32),
             jnp.ones((PPT, 1), jnp.float32),
             jnp.zeros((PPT, 4), jnp.float32),
         ),
     )
+
+    def drain_body(i, _):
+        fetch(base + i)
+        return 0
+
+    jax.lax.fori_loop(ci, nch, drain_body, 0)
     out_ref[0, :, 0:4] = accum
     out_ref[0, :, 4:5] = t_eff
     out_ref[0, :, 5:8] = jnp.zeros((PPT, 3), jnp.float32)
@@ -334,8 +349,59 @@ def _bwd_kernel(
             out_sems.at[slot],
         ).wait()
 
-    def body(ci, carry):
-        t_raw, prefix = carry
+    def emit(ci, g, grads):
+        """Carry/hold/write protocol for chunk g's gradient block (shared by
+        the live loop and the saturated drain loop)."""
+        # a boundary chunk shared with the PREVIOUS tile arrives as a VMEM
+        # carry, not an HBM read-modify-write (which would stall every tile
+        # on a full HBM round trip). NaN-safe: where() selects, never reads
+        # through, on the untaken branch (carry_scr starts uninitialized).
+        take_carry = (ci == 0) & (cur[_PEND] == 1)
+        grads = grads + jnp.where(take_carry, carry_scr[...], 0.0)
+        # if OUR range ends mid-chunk and later instances exist, the NEXT
+        # non-empty tile also contributes to this chunk: hand the grads over
+        # instead of writing them
+        hold = (ci == nch - 1) & (e % CHUNK != 0) & (e < total)
+
+        @pl.when(hold)
+        def _():
+            carry_scr[...] = grads
+            cur[_PEND] = 1
+
+        @pl.when(jnp.logical_not(hold))
+        def _():
+            w = cur[_WCNT]
+            slot = w % 2
+
+            @pl.when(w >= 2)
+            def _():
+                wr_wait(slot)
+
+            grad_scr[slot] = grads
+            pltpu.make_async_copy(
+                grad_scr.at[slot],
+                dinst_ref.at[:, pl.ds(pl.multiple_of(g * CHUNK, CHUNK), CHUNK)],
+                out_sems.at[slot],
+            ).start()
+            cur[_WCH0 + slot] = g
+            cur[_WCNT] = w + 1
+
+        @pl.when(take_carry & jnp.logical_not(hold))
+        def _():
+            cur[_PEND] = 0
+
+    # Tile-level early stop, mirroring the forward: the live while-loop walks
+    # chunks until every pixel saturates (t_raw < T_EPS — past that point
+    # every remaining instance's gradient from this tile is exactly zero),
+    # then the drain loop keeps the fetch stream and the zero-gradient
+    # writes flowing (every chunk must still be written by its last
+    # contributing tile).
+    def live_cond(st):
+        ci, t_raw, _ = st
+        return (ci < nch) & (jnp.max(t_raw) >= T_EPS)
+
+    def live_body(st):
+        ci, t_raw, prefix = st
         g = base + ci
         blk = fetch(g).astype(jnp.float32)
         woff = g * CHUNK
@@ -381,50 +447,21 @@ def _bwd_kernel(
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
 
-        # a boundary chunk shared with the PREVIOUS tile arrives as a VMEM
-        # carry, not an HBM read-modify-write (which would stall every tile
-        # on a full HBM round trip). NaN-safe: where() selects, never reads
-        # through, on the untaken branch (carry_scr starts uninitialized).
-        take_carry = (ci == 0) & (cur[_PEND] == 1)
-        grads = grads + jnp.where(take_carry, carry_scr[...], 0.0)
-        # if OUR range ends mid-chunk and later instances exist, the NEXT
-        # non-empty tile also contributes to this chunk: hand the grads over
-        # instead of writing them
-        hold = (ci == nch - 1) & (e % CHUNK != 0) & (e < total)
+        emit(ci, g, grads)
+        return ci + 1, q["t_raw_next"], prefix_incl[:, CHUNK - 1 : CHUNK]
 
-        @pl.when(hold)
-        def _():
-            carry_scr[...] = grads
-            cur[_PEND] = 1
-
-        @pl.when(jnp.logical_not(hold))
-        def _():
-            w = cur[_WCNT]
-            slot = w % 2
-
-            @pl.when(w >= 2)
-            def _():
-                wr_wait(slot)
-
-            grad_scr[slot] = grads
-            pltpu.make_async_copy(
-                grad_scr.at[slot],
-                dinst_ref.at[:, pl.ds(pl.multiple_of(g * CHUNK, CHUNK), CHUNK)],
-                out_sems.at[slot],
-            ).start()
-            cur[_WCH0 + slot] = g
-            cur[_WCNT] = w + 1
-
-        @pl.when(take_carry & jnp.logical_not(hold))
-        def _():
-            cur[_PEND] = 0
-
-        return q["t_raw_next"], prefix_incl[:, CHUNK - 1 : CHUNK]
-
-    jax.lax.fori_loop(
-        0, nch, body,
-        (jnp.ones((PPT, 1), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
+    ci, _, _ = jax.lax.while_loop(
+        live_cond,
+        live_body,
+        (jnp.int32(0), jnp.ones((PPT, 1), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
     )
+
+    def drain_body(i, _):
+        fetch(base + i)
+        emit(i, base + i, jnp.zeros((N_ROWS, CHUNK), jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(ci, nch, drain_body, 0)
 
     # every chunk is written exactly once, by its last contributing tile; a
     # pending carry always has a later consumer (e < total). Only the final
