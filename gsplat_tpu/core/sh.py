@@ -96,8 +96,19 @@ def eval_sh_color(degree: int, sh_coeffs, dirs):
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     k = num_sh_coeffs(degree)
     basis = sh_basis(degree, dirs)  # (N, k)
-    color = jnp.einsum("nk,nkc->nc", basis, sh_coeffs[:, :k, :],
-                       precision=jax.lax.Precision.HIGHEST) + 0.5
+    # Componentwise contraction on (N,) columns instead of an
+    # einsum("nk,nkc->nc"): the batched per-row (1,k)@(k,3) matmul pads each
+    # tiny operand to MXU tiles and was a preprocess hotspot (~3.5 ms at
+    # 262k gaussians); 3*k fused multiply-adds on flat columns run at
+    # VPU/HBM rate. Same f32 math, per-channel left-to-right sum order.
+    coeffs = sh_coeffs[:, :k, :]
+    color = jnp.stack(
+        [
+            sum(basis[:, j] * coeffs[:, j, c] for j in range(k))
+            for c in range(3)
+        ],
+        axis=-1,
+    ) + 0.5
     clamped = color < 0.0
     return jnp.maximum(color, 0.0), clamped
 
