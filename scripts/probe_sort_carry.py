@@ -10,7 +10,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -44,11 +43,11 @@ def main():
     k = 1 << 21
     num_tiles = 8160
     n_gauss = 262_144
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.randint(key, (k,), 0, num_tiles, jnp.int32)
-    gid = jax.random.randint(key, (k,), 0, n_gauss, jnp.int32)
-    payload = jax.random.normal(key, (k, 16), jnp.float32)
-    table = jax.random.normal(key, (n_gauss, 16), jnp.float32)
+    kk, kg, kp, kt = jax.random.split(jax.random.PRNGKey(0), 4)
+    keys = jax.random.randint(kk, (k,), 0, num_tiles, jnp.int32)
+    gid = jax.random.randint(kg, (k,), 0, n_gauss, jnp.int32)
+    payload = jax.random.normal(kp, (k, 16), jnp.float32)
+    table = jax.random.normal(kt, (n_gauss, 16), jnp.float32)
 
     s2 = jax.jit(lambda tk, g: jax.lax.sort((tk, g), num_keys=1, is_stable=True))
     t, _ = timeit(s2, keys, gid)

@@ -3,8 +3,8 @@
 fast, and correct? Decides whether the pack row-gather and the backward
 segment_sum can be restructured as sort-carried payloads.
 
-Run AFTER a real pipeline warmup is not needed here — sorts don't hit the
-gather engine; still, measure with random keys and verify outputs.
+No real-pipeline warmup needed here: sorts don't hit the gather engine.
+Measures with random keys and verifies output order/stability.
 """
 
 import os
@@ -65,10 +65,6 @@ def main():
     assert np.array_equal(g17, np.asarray(gid)[order]), "gid mismatch (stability?)"
     assert np.array_equal(c0, np.asarray(payload)[order, 0]), "payload mismatch"
     print("sort key+17col verified correct + stable")
-
-    # the transposed-payload variant: sort (key, gid) then carry payload as
-    # one (K,16) matrix via... there is no such API; instead measure sort of
-    # key + payload packed as 4 x int32x4? skip.
 
     # gather comparison at same K
     table = jnp.asarray(rng.normal(0, 1, (262144, 16)).astype(np.float32))
