@@ -96,19 +96,14 @@ def eval_sh_color(degree: int, sh_coeffs, dirs):
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     k = num_sh_coeffs(degree)
     basis = sh_basis(degree, dirs)  # (N, k)
-    # Componentwise contraction on (N,) columns instead of an
+    # Contiguous elementwise product + middle-axis reduction instead of an
     # einsum("nk,nkc->nc"): the batched per-row (1,k)@(k,3) matmul pads each
-    # tiny operand to MXU tiles and was a preprocess hotspot (~3.5 ms at
-    # 262k gaussians); 3*k fused multiply-adds on flat columns run at
-    # VPU/HBM rate. Same f32 math, per-channel left-to-right sum order.
+    # tiny operand onto MXU tiles, and per-(j,c) column slices of the
+    # (N, k, 3) coefficients are strided loads — both were preprocess
+    # hotspots (~3.5 ms at 262k gaussians). Broadcasting the basis across
+    # the channel axis keeps every access contiguous and memory-bound.
     coeffs = sh_coeffs[:, :k, :]
-    color = jnp.stack(
-        [
-            sum(basis[:, j] * coeffs[:, j, c] for j in range(k))
-            for c in range(3)
-        ],
-        axis=-1,
-    ) + 0.5
+    color = jnp.sum(basis[:, :, None] * coeffs, axis=1) + 0.5
     clamped = color < 0.0
     return jnp.maximum(color, 0.0), clamped
 

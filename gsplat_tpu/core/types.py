@@ -139,6 +139,10 @@ class RenderSettings:
     # < 1/255 — the per-pixel blend skips them everywhere, so renders and
     # gradients are unchanged while instance counts shrink ~30-50%
     tight_cull: bool = True
+    # track the per-pixel last-contributor index (forward.cu:347-384 parity).
+    # Costs ~25% of the forward blend kernel; nothing in training consumes it
+    # (the backward re-walks the stream), so it's opt-in.
+    track_contrib: bool = False
 
 
 def make_render_settings(**kw) -> RenderSettings:

@@ -87,20 +87,27 @@ def _vgg_features(x, convs):
 
 
 def lpips(img1, img2):
-    """LPIPS(vgg) for a pair of (H, W, 3) images in [0, 1]."""
+    """LPIPS(vgg) for a pair of (H, W, 3) images in [0, 1].
+
+    Matches the reference pipeline exactly (`lpipsPyTorch/modules/`):
+    the [0, 1] image is z-scored directly (`networks.py:50-51` — the
+    vendored variant does NOT rescale to [-1, 1] first), activations are
+    normalized as x / (||x||_c + 1e-10) (`utils.py:6-8`), squared diffs go
+    through the 1x1 linear heads and a spatial mean, summed over the 5 taps
+    (`lpips.py:31-36`).
+    """
     convs, lins = _load_weights()
 
     def prep(img):
-        x = img * 2.0 - 1.0  # [-1, 1] like the reference scaling layer
-        x = (x - _SHIFT) / _SCALE
+        x = (img - _SHIFT) / _SCALE
         return jnp.moveaxis(x, -1, 0)[None]  # (1,3,H,W)
 
     f1 = _vgg_features(prep(img1), convs)
     f2 = _vgg_features(prep(img2), convs)
     total = 0.0
     for a, b, w in zip(f1, f2, lins):
-        na = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
-        nb = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
+        na = a / (jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True)) + 1e-10)
+        nb = b / (jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True)) + 1e-10)
         d = (na - nb) ** 2  # (1,C,H,W)
         total = total + jnp.mean(jnp.sum(d * w[None, :, None, None], axis=1))
     return total

@@ -27,8 +27,12 @@ caller can check (the reference instead resizes device buffers dynamically,
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.core.types import pytree_dataclass
 from gsplat_tpu.ops.projection import ScreenGaussians
@@ -42,6 +46,27 @@ class TileBins:
     tile_id: jax.Array  # (K,) int32 tile per sorted instance (num_tiles = invalid)
     tile_start: jax.Array  # (T,) int32 range start per tile
     tile_end: jax.Array  # (T,) int32 range end per tile
+    num_instances: jax.Array  # () int32 total emitted (pre-clamp)
+    overflow: jax.Array  # () int32 instances dropped due to capacity
+
+
+@pytree_dataclass
+class PackedBins:
+    """TileBins plus the blend kernels' packed instance table.
+
+    Produced by `pack_bins`, which fuses the reference's duplicateWithKeys +
+    radix sort + per-instance staging (`rasterizer_impl.cu:292-311`,
+    `forward.cu:326-342`) into one run-length decode + one wide-payload sort:
+    the per-instance attribute columns ride the tile/depth sort as payload,
+    so no post-sort row-gather (the round-1 pack, ~17ns/instance on the TPU
+    gather engine) is ever needed.
+    """
+
+    inst_t: jax.Array  # (16, K_pad) packed instance rows (see rasterize_pallas)
+    gauss_id: jax.Array  # (K,) int32 gaussian index per sorted instance
+    tile_id: jax.Array  # (K,) int32 tile per sorted instance (num_tiles = invalid)
+    tile_start: jax.Array  # (T,) int32
+    tile_end: jax.Array  # (T,) int32
     num_instances: jax.Array  # () int32 total emitted (pre-clamp)
     overflow: jax.Array  # () int32 instances dropped due to capacity
 
@@ -172,4 +197,271 @@ def bin_gaussians(
         tile_end=end,
         num_instances=total,
         overflow=jnp.maximum(total - capacity, 0),
+    )
+
+
+# -----------------------------------------------------------------------------
+# Fused binning + packing (the Pallas blend kernels' input producer)
+# -----------------------------------------------------------------------------
+
+# Expand-kernel geometry: instance slots per grid step, per-gaussian table
+# rows per streamed window. The window walks the table 128-aligned; one
+# window always suffices when every table row in the span owns >= 1 slot
+# (span <= 512 + 127 < 768); runs of zero-instance gaussians just cost
+# extra window iterations.
+_XCHUNK = 512
+_XWIN = 768
+
+# table row indices (per-gaussian, f32; integer-valued rows are < 2^24 and
+# exact through the one-hot matmul)
+_T_RMINX, _T_RMINY, _T_RECTW, _T_GID, _T_DEPTH = 0, 1, 2, 3, 4
+_T_ATTR0 = 5  # rows 5..14: mx, my, ca, cb, cc, op, r, g, b, invz
+_T_CULL, _T_COVER, _T_CUME, _T_CUMI = 15, 16, 17, 18
+_T_ROWS = 24  # padded sublane count
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _expand_kernel(grid_x, tile, num_tiles, tight_cull, w0_ref, tbl_ref,
+                   attrs_ref, ikeys_ref, win_scr, sems):
+    """Run-length decode of instance slots from the per-gaussian table.
+
+    Per grid step (one chunk of _XCHUNK consecutive instance slots): stream
+    128-aligned windows of the (24, M) table from HBM, select each slot's
+    owning gaussian row with an exact one-hot matmul
+    (onehot[w, i] = cum_excl[w] <= slot_i < cum_incl[w]; f32 HIGHEST-precision
+    dot passes the owner's row through bit-exactly), then derive the
+    (tile, depth-bits, gid) sort keys and the tight cull in-register. This
+    replaces the delta-scatter + cumsum run-length decode of the round-1
+    binning (XLA scatters of wide rows measured ~100ns/row — 27ms/frame at
+    garden scale) and the post-sort pack gather (~17ns/instance) in one pass
+    at DMA/MXU rate. Reference analogue: duplicateWithKeys
+    (`rasterizer_impl.cu:70-111`) fused with the shared-memory staging loop
+    (`forward.cu:326-342`).
+    """
+    c = pl.program_id(0)
+    m_pad = tbl_ref.shape[1]
+    s0 = c * _XCHUNK
+    w0 = w0_ref[c]
+    w0a = w0 // 128 * 128
+
+    # slots on the sublane axis for the one-hot (512, 768) comparison
+    slot_col = (s0 + jax.lax.broadcasted_iota(jnp.int32, (_XCHUNK, 1), 0)).astype(
+        jnp.float32
+    )
+
+    def fetch(w):
+        cp = pltpu.make_async_copy(
+            tbl_ref.at[:, pl.ds(w, _XWIN)], win_scr, sems.at[0]
+        )
+        cp.start()
+        cp.wait()
+
+    def cond(st):
+        w, rows = st
+        covered = jnp.min(rows[_T_COVER : _T_COVER + 1, :]) > 0.5
+        return jnp.logical_not(covered) & (w + _XWIN <= m_pad)
+
+    def body(st):
+        w, rows = st
+        fetch(pl.multiple_of(w, 128))
+        cume = win_scr[_T_CUME : _T_CUME + 1, :]  # (1, 768) cum_excl
+        cumi = win_scr[_T_CUMI : _T_CUMI + 1, :]  # (1, 768) cum_incl
+        # onehot[i, w] = this window row owns slot i (padding rows have
+        # cume == cumi == 0 and never match)
+        onehot = ((cume <= slot_col) & (slot_col < cumi)).astype(jnp.float32)
+        rows = rows + jax.lax.dot_general(
+            win_scr[...], onehot, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (24, 512)
+        return w + _XWIN, rows
+
+    _, rows = jax.lax.while_loop(
+        cond, body, (w0a, jnp.zeros((_T_ROWS, _XCHUNK), jnp.float32))
+    )
+
+    # --- per-slot structure (exact small-int f32 math; see bin_gaussians)
+    srow = (s0 + jax.lax.broadcasted_iota(jnp.int32, (1, _XCHUNK), 1)).astype(
+        jnp.float32
+    )
+    local = srow - rows[_T_CUME : _T_CUME + 1, :]
+    rw = jnp.maximum(rows[_T_RECTW : _T_RECTW + 1, :], 1.0)
+    # floor-div is exact here: operands are integers < 2^24 and rw <= grid_x,
+    # so the correctly-rounded f32 quotient never crosses an integer boundary
+    ly = jnp.floor(local / rw)
+    tx = rows[_T_RMINX : _T_RMINX + 1, :] + (local - ly * rw)
+    ty = rows[_T_RMINY : _T_RMINY + 1, :] + ly
+    tile_id = ty * float(grid_x) + tx
+
+    valid = rows[_T_COVER : _T_COVER + 1, :] > 0.5
+    if tight_cull:
+        mx = rows[_T_ATTR0 : _T_ATTR0 + 1, :]
+        my = rows[_T_ATTR0 + 1 : _T_ATTR0 + 2, :]
+        x0 = tx * float(tile)
+        y0 = ty * float(tile)
+        dx = jnp.clip(mx, x0, x0 + (tile - 1)) - mx
+        dy = jnp.clip(my, y0, y0 + (tile - 1)) - my
+        valid = valid & (dx * dx + dy * dy <= rows[_T_CULL : _T_CULL + 1, :])
+
+    tile_key = jnp.where(valid, tile_id, float(num_tiles)).astype(jnp.int32)
+    dkey = pltpu.bitcast(rows[_T_DEPTH : _T_DEPTH + 1, :], jnp.int32)
+    gid = jnp.where(valid, rows[_T_GID : _T_GID + 1, :], 0.0).astype(jnp.int32)
+
+    attrs_ref[...] = rows[_T_ATTR0 : _T_ATTR0 + 10, :]
+    ikeys_ref[...] = jnp.concatenate(
+        [tile_key, dkey, gid, jnp.zeros((1, _XCHUNK), jnp.int32)], axis=0
+    )
+
+
+def _expand_instances(tbl, w0, grid_x, tile, num_tiles, tight_cull, interpret):
+    num_chunks = w0.shape[0]
+    cap = num_chunks * _XCHUNK
+    kernel = functools.partial(
+        _expand_kernel, grid_x, tile, num_tiles, tight_cull
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # tbl (24, M_pad)
+        ],
+        out_specs=[
+            pl.BlockSpec((10, _XCHUNK), lambda c, w: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _XCHUNK), lambda c, w: (0, c), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_T_ROWS, _XWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((10, cap), jnp.float32),
+            jax.ShapeDtypeStruct((4, cap), jnp.int32),
+        ],
+        interpret=interpret,
+    )(w0, tbl)
+
+
+def pack_bins(
+    screen: ScreenGaussians,
+    grid_x: int,
+    grid_y: int,
+    capacity: int,
+    tile: int = 16,
+    tight_cull: bool = True,
+    packet_dtype=jnp.float32,
+) -> PackedBins:
+    """Fused binning + instance packing for the Pallas rasterizer.
+
+    Same instance order as `bin_gaussians` — (tile, depth-bits, gaussian id)
+    lexicographic, the reference's packed radix-key order
+    (`rasterizer_impl.cu:303-311`) — produced without ever scattering or
+    gathering per-instance rows:
+
+    1. a (24, N) per-gaussian column table (attributes sanitized so dead
+       rows can't inject NaN/inf into downstream selects);
+    2. the Pallas expand kernel run-length-decodes instance slots from it
+       (exact one-hot window matmuls — see `_expand_kernel`), emitting sort
+       keys and the 10 blend-attribute columns;
+    3. ONE wide unstable sort: keys (tile, depth-bits, gid) — a total order,
+       so stability is free — with the attribute columns riding as payload;
+    4. per-tile ranges by boundary search, and a (16, K) row-stack into the
+       blend kernels' gaussian-lane packet layout.
+
+    Everything here is non-differentiable structure (inputs stop-gradded);
+    the blend's custom VJP routes attribute gradients straight to the
+    per-gaussian arrays via `segment_sum(gauss_id)`.
+
+    Overflow note: when the emitted instance count exceeds `capacity`, the
+    truncation set differs from `bin_gaussians` (slots here are emitted in
+    gaussian order, there in depth order), so the two paths only agree
+    bitwise when `overflow == 0` — the state the capacity controller
+    (`gsplat_tpu/capacity.py`) maintains. Both report the overflow count.
+    """
+    num_tiles = grid_x * grid_y
+    screen = jax.tree.map(jax.lax.stop_gradient, screen)
+    n = screen.depth.shape[0]
+    cap = _round_up(capacity, _XCHUNK)
+    m_pad = _round_up(n, 128) + _XWIN
+
+    live = screen.tiles_touched > 0
+    liv = lambda x, fill=0.0: jnp.where(live, x, fill)
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cum = jnp.cumsum(screen.tiles_touched)
+    cum_excl = cum - screen.tiles_touched
+    total = cum[-1]
+
+    rect_w = jnp.maximum(screen.rect_max[:, 0] - screen.rect_min[:, 0], 1)
+    cols = [
+        liv(screen.rect_min[:, 0], 0).astype(jnp.float32),  # _T_RMINX
+        liv(screen.rect_min[:, 1], 0).astype(jnp.float32),  # _T_RMINY
+        liv(rect_w, 1).astype(jnp.float32),  # _T_RECTW
+        iota.astype(jnp.float32),  # _T_GID
+        liv(screen.depth, 1.0),  # _T_DEPTH (value; kernel bitcasts)
+        liv(screen.mean2d[:, 0]),  # mx
+        liv(screen.mean2d[:, 1]),  # my
+        liv(screen.conic[:, 0]),  # ca
+        liv(screen.conic[:, 1]),  # cb
+        liv(screen.conic[:, 2]),  # cc
+        liv(screen.opacity),  # op
+        liv(screen.rgb[:, 0]),  # r
+        liv(screen.rgb[:, 1]),  # g
+        liv(screen.rgb[:, 2]),  # b
+        liv(1.0 / jnp.maximum(screen.depth, 0.2)),  # invz
+        liv(screen.cull_r2),  # _T_CULL
+        jnp.ones((n,), jnp.float32),  # _T_COVER (1 for real rows)
+        jnp.minimum(cum_excl, 1 << 24).astype(jnp.float32),  # _T_CUME
+        jnp.minimum(cum, 1 << 24).astype(jnp.float32),  # _T_CUMI
+    ]
+    tbl = jnp.stack(
+        cols + [jnp.zeros((n,), jnp.float32)] * (_T_ROWS - len(cols)), axis=0
+    )  # (24, N)
+    # zero padding rows own nothing: cum_excl == cum_incl == 0 never matches
+    tbl = jnp.pad(tbl, ((0, 0), (0, m_pad - n)))
+
+    # per-chunk window start: the owner of the chunk's first slot
+    num_chunks = cap // _XCHUNK
+    s0 = jnp.arange(num_chunks, dtype=cum.dtype) * _XCHUNK
+    w0 = jnp.searchsorted(jnp.minimum(cum, 1 << 24), s0, side="right").astype(
+        jnp.int32
+    )
+    w0 = jnp.minimum(w0, n)
+
+    interpret = jax.default_backend() == "cpu"
+    attrs, ikeys = _expand_instances(
+        tbl, w0, grid_x, tile, num_tiles, tight_cull, interpret
+    )
+
+    # --- one wide sort: (tile, depth-bits, gid) is a total order, ties match
+    # bin_gaussians' stable two-sort order (depth bits of positive f32 are
+    # monotone in depth; equal depths fall back to gaussian id).
+    sorted_ops = jax.lax.sort(
+        (ikeys[0], ikeys[1], ikeys[2]) + tuple(attrs[r] for r in range(10)),
+        num_keys=3,
+        is_stable=False,
+    )
+    tile_sorted, gauss_sorted = sorted_ops[0], sorted_ops[2]
+    attr_cols = sorted_ops[3:]
+
+    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+
+    zero = jnp.zeros((cap,), jnp.float32)
+    inst_t = jnp.stack(attr_cols + (zero,) * 6, axis=0).astype(packet_dtype)
+
+    return PackedBins(
+        inst_t=inst_t,
+        gauss_id=gauss_sorted,
+        tile_id=tile_sorted,
+        tile_start=bounds[:num_tiles],
+        tile_end=bounds[1:],
+        num_instances=total,
+        overflow=jnp.maximum(total - cap, 0),
     )

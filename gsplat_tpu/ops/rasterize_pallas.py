@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.core.types import pytree_dataclass
-from gsplat_tpu.ops.binning import TileBins
+from gsplat_tpu.ops.binning import PackedBins, TileBins
 from gsplat_tpu.ops.projection import ScreenGaussians
 from gsplat_tpu.ops.rasterize_jnp import ALPHA_MAX, ALPHA_MIN, T_EPS, BlendOutput
 
@@ -218,7 +218,8 @@ def _read_protocol(inst_ref, scr, sems, cur, nctotal):
     return init, fetch
 
 
-def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, cur):
+def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_ref,
+                scr, sems, cur):
     # instance packets may be bf16 (half the DMA traffic, the GS-IRON bf16
     # ladder analogue); all blend math runs f32
     t = pl.program_id(0)
@@ -240,11 +241,11 @@ def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, 
     # protocol running — the global chunk stream must consume every chunk in
     # order regardless.
     def live_cond(st):
-        ci, t_raw, _, _ = st
+        ci, t_raw, _, _, _ = st
         return (ci < nch) & (jnp.max(t_raw) >= T_EPS)
 
     def live_body(st):
-        ci, t_raw, t_eff, accum = st
+        ci, t_raw, t_eff, accum, ncon = st
         g = base + ci
         blk = fetch(g).astype(jnp.float32)  # (16, 128)
         woff = g * CHUNK
@@ -254,9 +255,20 @@ def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, 
             q["w"], feat_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (256, 4)
-        return ci + 1, q["t_raw_next"], t_eff * q["eff_prod"], accum
+        if track_contrib:
+            # last_contributor (forward.cu:347-384): 1-based index within the
+            # tile's range of the last instance actually blended at this pixel
+            lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
+            pos = (lane + (woff - s + 1)).astype(jnp.float32)  # ints < 2^24
+            ncon = jnp.maximum(
+                ncon,
+                jnp.max(
+                    jnp.where(q["alpha_eff"] > 0.0, pos, 0.0), axis=1, keepdims=True
+                ),
+            )
+        return ci + 1, q["t_raw_next"], t_eff * q["eff_prod"], accum, ncon
 
-    ci, t_raw, t_eff, accum = jax.lax.while_loop(
+    ci, t_raw, t_eff, accum, ncon = jax.lax.while_loop(
         live_cond,
         live_body,
         (
@@ -264,6 +276,7 @@ def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, 
             jnp.ones((PPT, 1), jnp.float32),
             jnp.ones((PPT, 1), jnp.float32),
             jnp.zeros((PPT, 4), jnp.float32),
+            jnp.zeros((PPT, 1), jnp.float32),
         ),
     )
 
@@ -274,12 +287,14 @@ def _fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref, scr, sems, 
     jax.lax.fori_loop(ci, nch, drain_body, 0)
     out_ref[0, :, 0:4] = accum
     out_ref[0, :, 4:5] = t_eff
-    out_ref[0, :, 5:8] = jnp.zeros((PPT, 3), jnp.float32)
+    out_ref[0, :, 5:6] = ncon
+    out_ref[0, :, 6:8] = jnp.zeros((PPT, 2), jnp.float32)
 
 
-def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
+def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile,
+                 track_contrib=False):
     num_tiles = grid_x * grid_y
-    kernel = functools.partial(_fwd_kernel, grid_x, tile)
+    kernel = functools.partial(_fwd_kernel, grid_x, tile, track_contrib)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -516,63 +531,68 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, t
 
 def blend_tiles_pallas(
     screen: ScreenGaussians,
-    bins: TileBins,
+    bins,
     grid_x: int,
     grid_y: int,
     tile: int,
     packet_dtype=jnp.float32,
+    track_contrib: bool = False,
 ) -> BlendOutput:
-    """packet_dtype=jnp.bfloat16 streams instance packets at half bandwidth
-    (forward-quality renders; keep f32 for gradient-faithful training)."""
-    assert tile * tile == PPT, "pallas blend kernel is built for 16x16 tiles"
-    pack_dtype = packet_dtype
-    num_tiles = grid_x * grid_y
-    k = bins.gauss_id.shape[0]  # == instance capacity
-    k_pad = _round_up(k, CHUNK)
+    """Blend the sorted instance stream with the Pallas kernels.
 
+    `bins` is normally a `PackedBins` from `binning.pack_bins` — the fused
+    binning already laid the instances out in the kernels' (16, K) lane-major
+    packet format, so no per-instance gather happens here (the packet dtype
+    was chosen at pack time; `packet_dtype` is ignored). A plain `TileBins`
+    is also accepted (handcrafted range patterns in tests): its packets are
+    materialized with the simple gather-based packer.
+
+    Either way the blend is differentiable w.r.t. the per-gaussian screen
+    arrays through a custom VJP: the backward kernel writes per-instance
+    gradient rows and one `segment_sum` over the sorted instance -> gaussian
+    map replaces the CUDA atomicAdd (`backward.cu:593-635`).
+    """
+    assert tile * tile == PPT, "pallas blend kernel is built for 16x16 tiles"
+    num_tiles = grid_x * grid_y
+    inv_depth_all = 1.0 / jnp.maximum(screen.depth, 0.2)
+
+    if isinstance(bins, PackedBins):
+        inst_t = bins.inst_t
+        k = inst_t.shape[1]
+    else:
+        inst_t = pack_from_tilebins(screen, bins, packet_dtype)
+        k = inst_t.shape[1]
     gauss_id = bins.gauss_id
     tile_start = bins.tile_start
     tile_end = bins.tile_end
     # instances tight-culled in binning carry tile_id == num_tiles and sort
     # to the tail, outside every tile's [start, end) window
     slot_valid = bins.tile_id < num_tiles
-    inv_depth_all = 1.0 / jnp.maximum(screen.depth, 0.2)
-
-    def pack(mean2d, conic, opacity, rgb, invz):
-        """Gather per-instance rows -> (16, K_pad) gaussian-lane layout.
-
-        One (N, 16) table + ONE contiguous row-gather at the instance ids
-        (row gathers of 64B lines are the fast gather shape on TPU; ten
-        separate scalar-column gathers cost ~10x the latency), then a single
-        XLA transpose into the kernel's lane-major layout."""
-        table = jnp.concatenate(
-            [
-                mean2d, conic, opacity[:, None], rgb, invz[:, None],
-                jnp.zeros((mean2d.shape[0], N_ROWS - 10), jnp.float32),
-            ],
-            axis=1,
-        )  # (N, 16)
-        inst = table[gauss_id]  # (K, 16) single row-gather
-        inst = jnp.pad(inst, ((0, k_pad - k), (0, 0)))
-        return inst.T.astype(pack_dtype)  # (16, K_pad)
+    if slot_valid.shape[0] < k:
+        slot_valid = jnp.pad(slot_valid, (0, k - slot_valid.shape[0]))
+        gauss_id = jnp.pad(gauss_id, (0, k - gauss_id.shape[0]))
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz):
-        inst_t = pack(mean2d, conic, opacity, rgb, invz)
-        return _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
+        # forward reads the pre-packed (stop-gradient) instance stream; the
+        # args exist to wire the custom VJP to the per-gaussian arrays
+        return _run_forward(
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
+        )
 
     def blend_fwd(mean2d, conic, opacity, rgb, invz):
-        inst_t = pack(mean2d, conic, opacity, rgb, invz)
-        out = _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
-        return out, (inst_t, out)
+        out = _run_forward(
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
+        )
+        return out, (out,)
 
     def blend_bwd(res, dout):
-        inst_t, fwd_out = res
+        (fwd_out,) = res
         dinst = _run_backward(
             inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
-        )  # (16, K_pad)
+        )  # (16, K)
         # mask padding slots and any segment tail garbage before reduction
-        dinst = jnp.where(slot_valid[None, :], dinst[:, :k], 0.0)
+        dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
         # CUDA atomicAdd -> ONE row-wise segment-sum over the sorted
         # instance -> gaussian map. A single (K, 16) scatter-add runs at HBM
         # bandwidth; ten per-column segment_sums fused together serialize on
@@ -597,6 +617,34 @@ def blend_tiles_pallas(
         color=out[:, :, 0:3],
         invdepth=out[:, :, 3],
         final_t=out[:, :, 4],
-        n_contrib=jnp.zeros((num_tiles, PPT), jnp.int32),  # not tracked (bwd recomputes)
+        n_contrib=out[:, :, 5].astype(jnp.int32),
         overflow=jnp.zeros((), jnp.int32),  # no per-tile cap in the pallas path
     )
+
+
+def pack_from_tilebins(
+    screen: ScreenGaussians, bins: TileBins, packet_dtype=jnp.float32
+):
+    """Gather-based instance packer for a plain TileBins.
+
+    One (N, 16) table + ONE contiguous row-gather at the instance ids (row
+    gathers of 64B lines are the fast gather shape on TPU; ten separate
+    scalar-column gathers serialize ~10x). Costs ~17ns/instance on the
+    gather engine — production rendering uses `binning.pack_bins`, which
+    avoids this entirely by carrying the attributes through the sort.
+    """
+    screen = jax.tree.map(jax.lax.stop_gradient, screen)
+    k = bins.gauss_id.shape[0]
+    k_pad = _round_up(k, CHUNK)
+    invz = 1.0 / jnp.maximum(screen.depth, 0.2)
+    table = jnp.concatenate(
+        [
+            screen.mean2d, screen.conic, screen.opacity[:, None], screen.rgb,
+            invz[:, None],
+            jnp.zeros((screen.mean2d.shape[0], N_ROWS - 10), jnp.float32),
+        ],
+        axis=1,
+    )  # (N, 16)
+    inst = table[bins.gauss_id]  # (K, 16) single row-gather
+    inst = jnp.pad(inst, ((0, k_pad - k), (0, 0)))
+    return inst.T.astype(packet_dtype)  # (16, K_pad)

@@ -84,14 +84,19 @@ def make_sharded_render(mesh: Mesh, settings: RenderSettings, width: int, height
                 [jnp.zeros((), jnp.float32), row0_px.astype(jnp.float32)]
             )
         )
-        bins = bin_gaussians(
-            local, gx, gy_local, cap_local, settings.tile, settings.tight_cull
-        )
         if settings.backend == "pallas":
+            from gsplat_tpu.ops.binning import pack_bins
             from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
+            bins = pack_bins(
+                local, gx, gy_local, cap_local, settings.tile,
+                settings.tight_cull, packet_dtype=jnp.dtype(settings.packet_dtype),
+            )
             out = blend_tiles_pallas(local, bins, gx, gy_local, tile)
         else:
+            bins = bin_gaussians(
+                local, gx, gy_local, cap_local, settings.tile, settings.tight_cull
+            )
             out = blend_tiles_jnp(
                 local, bins, gx, gy_local, tile, settings.max_per_tile, settings.chunk
             )

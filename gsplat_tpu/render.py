@@ -77,18 +77,24 @@ def render(
     gx, gy = grid_dims(camera, settings.tile)
 
     screen = preprocess(params, alive, camera, settings, gx, gy, mean2d_offset)
-    bins = bin_gaussians(
-        screen, gx, gy, settings.instance_capacity, settings.tile, settings.tight_cull
-    )
 
     if settings.backend == "pallas":
+        from gsplat_tpu.ops.binning import pack_bins
         from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
+        bins = pack_bins(
+            screen, gx, gy, settings.instance_capacity, settings.tile,
+            settings.tight_cull, packet_dtype=jnp.dtype(settings.packet_dtype),
+        )
         out = blend_tiles_pallas(
             screen, bins, gx, gy, settings.tile,
-            packet_dtype=jnp.dtype(settings.packet_dtype),
+            track_contrib=settings.track_contrib,
         )
     else:
+        bins = bin_gaussians(
+            screen, gx, gy, settings.instance_capacity, settings.tile,
+            settings.tight_cull,
+        )
         out = blend_tiles_jnp(
             screen, bins, gx, gy, settings.tile, settings.max_per_tile, settings.chunk
         )

@@ -37,6 +37,13 @@ def evaluate(model_paths):
     psnr_j = jax.jit(psnr)
     lpips_j = jax.jit(lpips) if lpips_available() else None
     if lpips_j is None:
+        if os.environ.get("GSPLAT_LPIPS_WEIGHTS"):
+            # weights explicitly requested but unusable: fail loudly rather
+            # than silently publishing a results.json with lpips null
+            raise FileNotFoundError(
+                "GSPLAT_LPIPS_WEIGHTS is set but the file does not exist: "
+                f"{os.environ['GSPLAT_LPIPS_WEIGHTS']!r}"
+            )
         print("WARNING: LPIPS weights unavailable — reporting lpips as null "
               "(set GSPLAT_LPIPS_WEIGHTS; see gsplat_tpu/eval/lpips_jax.py)",
               file=sys.stderr)

@@ -29,29 +29,40 @@ def timeit(fn, *args, iters=5, warmup=1):
 def main():
     from __graft_entry__ import _tiny_scene
     from gsplat_tpu.core.types import make_render_settings
-    from gsplat_tpu.ops.binning import bin_gaussians
+    from gsplat_tpu.ops.binning import bin_gaussians, pack_bins
     from gsplat_tpu.ops.projection import preprocess
     from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
     from gsplat_tpu.render import grid_dims, render
 
     width, height, n = 1920, 1080, 262_144
     params, alive, camera = _tiny_scene(n=n, width=width, height=height, sh_degree=3, capacity=n)
+    # size the instance buffer like bench.py (capacity-proportional stages)
+    from gsplat_tpu.capacity import probe_instance_capacity, round128
+
+    cam_holder = type("CamHolder", (), {"camera": camera})
+    peak = probe_instance_capacity(params, alive, [cam_holder])
     settings = make_render_settings(
-        sh_degree=3, max_per_tile=2048, instance_capacity=1 << 21, backend="pallas"
+        sh_degree=3, max_per_tile=2048, instance_capacity=round128(peak),
+        backend="pallas",
     )
+    print(f"instance capacity: {settings.instance_capacity}")
     gx, gy = grid_dims(camera, settings.tile)
 
     pre = jax.jit(lambda p, a: preprocess(p, a, camera, settings, gx, gy))
     t, screen = timeit(pre, params, alive)
     print(f"preprocess           {t*1e3:8.2f} ms")
 
-    bins_f = jax.jit(lambda s: bin_gaussians(s, gx, gy, settings.instance_capacity))
+    bins_f = jax.jit(lambda s: pack_bins(s, gx, gy, settings.instance_capacity))
     t, bins = timeit(bins_f, screen)
-    print(f"binning (sort)       {t*1e3:8.2f} ms   instances={int(bins.num_instances)} overflow={int(bins.overflow)}")
+    print(f"pack_bins (expand+sort)  {t*1e3:8.2f} ms   instances={int(bins.num_instances)} overflow={int(bins.overflow)}")
+
+    legacy_f = jax.jit(lambda s: bin_gaussians(s, gx, gy, settings.instance_capacity))
+    t, _ = timeit(legacy_f, screen)
+    print(f"bin_gaussians (legacy)   {t*1e3:8.2f} ms")
 
     fwd = jax.jit(lambda s, b: blend_tiles_pallas(s, b, gx, gy, settings.tile))
     t, _ = timeit(fwd, screen, bins)
-    print(f"blend fwd (incl pack)       {t*1e3:8.2f} ms")
+    print(f"blend fwd kernel         {t*1e3:8.2f} ms")
 
     full_f = jax.jit(lambda p, a: render(camera, p, a, settings, jnp.zeros(3))["render"].mean())
     t, _ = timeit(full_f, params, alive)

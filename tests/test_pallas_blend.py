@@ -16,7 +16,7 @@ from jax.experimental import pallas as pl
 
 import gsplat_tpu.ops.rasterize_pallas as rp
 from gsplat_tpu.core.types import make_render_settings
-from gsplat_tpu.ops.binning import bin_gaussians
+from gsplat_tpu.ops.binning import bin_gaussians, pack_bins
 from gsplat_tpu.ops.projection import preprocess
 from gsplat_tpu.ops.rasterize_jnp import blend_tiles_jnp
 from gsplat_tpu.render import grid_dims
@@ -49,17 +49,21 @@ def build(n=600, width=96, height=80, sh_degree=1, seed=3):
     )
     gx, gy = grid_dims(camera, 16)
     screen = preprocess(params, alive, camera, settings, gx, gy)
-    bins = bin_gaussians(screen, gx, gy, settings.instance_capacity)
+    # production path: fused binning+packing (attributes ride the sort)
+    bins = pack_bins(screen, gx, gy, settings.instance_capacity)
     return screen, bins, gx, gy
 
 
 def test_forward_matches_jnp():
     screen, bins, gx, gy = build()
-    oj = blend_tiles_jnp(screen, bins, gx, gy, 16, 1024, 128)
-    op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+    oj_bins = bin_gaussians(screen, gx, gy, bins.gauss_id.shape[0])
+    oj = blend_tiles_jnp(screen, oj_bins, gx, gy, 16, 1024, 128)
+    op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16, track_contrib=True)
     np.testing.assert_allclose(np.asarray(op.color), np.asarray(oj.color), atol=2e-5)
     np.testing.assert_allclose(np.asarray(op.invdepth), np.asarray(oj.invdepth), atol=2e-5)
     np.testing.assert_allclose(np.asarray(op.final_t), np.asarray(oj.final_t), atol=2e-5)
+    # last-contributor parity (forward.cu:347-384; opt-in tracking)
+    np.testing.assert_array_equal(np.asarray(op.n_contrib), np.asarray(oj.n_contrib))
 
 
 def test_backward_matches_jnp_autodiff():
@@ -104,10 +108,11 @@ def test_empty_tiles_are_background():
         tiles_touched=jnp.zeros_like(screen.tiles_touched),
         mask=jnp.zeros_like(screen.mask),
     )
-    bins = bin_gaussians(screen, gx, gy, 1 << 10)
+    bins = pack_bins(screen, gx, gy, 1 << 10)
     op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
     assert np.all(np.asarray(op.color) == 0)
     assert np.all(np.asarray(op.final_t) == 1.0)
+    assert np.all(np.asarray(op.n_contrib) == 0)
 
 
 def test_bf16_packets_close_to_f32():
@@ -117,9 +122,10 @@ def test_bf16_packets_close_to_f32():
 
     screen, bins, gx, gy = build()
     f32 = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
-    bf16 = rp.blend_tiles_pallas(
-        screen, bins, gx, gy, 16, packet_dtype=jnp.bfloat16
+    bins_bf = pack_bins(
+        screen, gx, gy, bins.gauss_id.shape[0], packet_dtype=jnp.bfloat16
     )
+    bf16 = rp.blend_tiles_pallas(screen, bins_bf, gx, gy, 16)
     d = np.abs(np.asarray(f32.color) - np.asarray(bf16.color))
     # bf16's 8-bit mantissa costs ~0.5px of center precision at this image
     # width; color error lands at the same magnitude as the reference's own
