@@ -68,6 +68,12 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _interpret() -> bool:
+    # CPU has no Mosaic backend: run the kernels in the Pallas interpreter
+    # (tests, the driver's virtual-device mesh dryruns). Trace-time constant.
+    return jax.default_backend() == "cpu"
+
+
 def _cumsum_lanes(x):
     """Inclusive cumsum along the lane axis (axis=1) by doubling shifts.
 
@@ -312,6 +318,7 @@ def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PPT, 8), jnp.float32),
+        interpret=_interpret(),
     )(tile_start, tile_end, inst_t)
 
 
@@ -521,12 +528,68 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, t
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N_ROWS, k_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
     )(tile_start, tile_end, inst_t, fwd_out, dout)
 
 
 # ----------------------------------------------------------------------------
 # differentiable wrapper
 # ----------------------------------------------------------------------------
+
+
+def _float0(x):
+    """Zero cotangent for a non-differentiable (int/bool) custom-vjp arg."""
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool):
+    @jax.custom_vjp
+    def blend(mean2d, conic, opacity, rgb, invz,
+              inst_t, tile_start, tile_end, gauss_id, slot_valid):
+        # forward reads the pre-packed (stop-gradient) instance stream; the
+        # per-gaussian args exist to wire the custom VJP to them
+        return _run_forward(
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
+        )
+
+    def blend_fwd(mean2d, conic, opacity, rgb, invz,
+                  inst_t, tile_start, tile_end, gauss_id, slot_valid):
+        out = _run_forward(
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
+        )
+        n_gauss = mean2d.shape[0]
+        return out, (out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss)
+
+    def blend_bwd(res, dout):
+        fwd_out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss = res
+        dinst = _run_backward(
+            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
+        )  # (16, K)
+        # mask padding slots and any segment tail garbage before reduction
+        dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
+        # CUDA atomicAdd -> ONE column-wise scatter-add over the sorted
+        # instance -> gaussian map, in the kernel's own (16, K) layout (a
+        # (16, K) -> (K, 16) transpose before a row-wise segment_sum cost
+        # ~3ms/frame for nothing; the column scatter runs at the same
+        # scatter-engine rate). Ten per-column scatters fused together would
+        # serialize on TPU (same pathology as column gathers — binning.py).
+        drows = (
+            jnp.zeros((N_ROWS, n_gauss), jnp.float32).at[:, gauss_id].add(dinst)
+        )  # (16, N)
+        d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
+        d_conic = drows[_ROW_CA : _ROW_CC + 1].T
+        d_op = drows[_ROW_OP]
+        d_rgb = drows[_ROW_FEAT : _ROW_FEAT + 3].T
+        d_invz = drows[_ROW_FEAT + 3]
+        return (
+            d_mean2d, d_conic, d_op, d_rgb, d_invz,
+            jnp.zeros_like(inst_t), _float0(tile_start), _float0(tile_end),
+            _float0(gauss_id), _float0(slot_valid),
+        )
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
 
 
 def blend_tiles_pallas(
@@ -572,46 +635,14 @@ def blend_tiles_pallas(
         slot_valid = jnp.pad(slot_valid, (0, k - slot_valid.shape[0]))
         gauss_id = jnp.pad(gauss_id, (0, k - gauss_id.shape[0]))
 
-    @jax.custom_vjp
-    def blend(mean2d, conic, opacity, rgb, invz):
-        # forward reads the pre-packed (stop-gradient) instance stream; the
-        # args exist to wire the custom VJP to the per-gaussian arrays
-        return _run_forward(
-            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
-        )
-
-    def blend_fwd(mean2d, conic, opacity, rgb, invz):
-        out = _run_forward(
-            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
-        )
-        return out, (out,)
-
-    def blend_bwd(res, dout):
-        (fwd_out,) = res
-        dinst = _run_backward(
-            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
-        )  # (16, K)
-        # mask padding slots and any segment tail garbage before reduction
-        dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
-        # CUDA atomicAdd -> ONE row-wise segment-sum over the sorted
-        # instance -> gaussian map. A single (K, 16) scatter-add runs at HBM
-        # bandwidth; ten per-column segment_sums fused together serialize on
-        # TPU (same pathology as column gathers — see binning.py).
-        n_gauss = screen.mean2d.shape[0]
-        drows = jax.ops.segment_sum(
-            dinst.T, gauss_id, num_segments=n_gauss, indices_are_sorted=False
-        )  # (N, 16)
-        d_mean2d = drows[:, _ROW_MX : _ROW_MY + 1]
-        d_conic = drows[:, _ROW_CA : _ROW_CC + 1]
-        d_op = drows[:, _ROW_OP]
-        d_rgb = drows[:, _ROW_FEAT : _ROW_FEAT + 3]
-        d_invz = drows[:, _ROW_FEAT + 3]
-        return d_mean2d, d_conic, d_op, d_rgb, d_invz
-
-    blend.defvjp(blend_fwd, blend_bwd)
-
+    # Every traced array is an EXPLICIT custom-vjp argument (the structure
+    # arrays get float0 cotangents): closing over them instead would leak
+    # tracers when the VJP is pulled through an outer transform's transpose
+    # (shard_map autodiff re-traces the backward in a different trace).
+    blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib)
     out = blend(
-        screen.mean2d, screen.conic, screen.opacity, screen.rgb, inv_depth_all
+        screen.mean2d, screen.conic, screen.opacity, screen.rgb, inv_depth_all,
+        inst_t, tile_start, tile_end, gauss_id, slot_valid,
     )  # (T, 256, 8)
     return BlendOutput(
         color=out[:, :, 0:3],

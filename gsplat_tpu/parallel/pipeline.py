@@ -50,12 +50,26 @@ def restrict_to_tile_rows(screen, row0, n_rows, grid_x):
     )
 
 
-def make_sharded_render(mesh: Mesh, settings: RenderSettings, width: int, height: int):
-    """Build a differentiable multi-chip render.
+def make_sharded_render(
+    mesh: Mesh,
+    settings: RenderSettings,
+    width: int,
+    height: int,
+    gauss_axes=("gauss",),
+):
+    """Build a differentiable multi-chip render over the explicit pipeline.
 
-    Returns fn(camera, params, alive, bg) -> dict with "render"/"invdepth"
-    (rows sharded over the 'tile' axis), "radii"/"visibility" (gauss-sharded).
-    Params/alive must be row-sharded over 'gauss' (see shard_params).
+    Returns fn(camera, params, alive, bg, mean2d_offset=None, exposure=None)
+    -> dict with "render"/"invdepth" (rows sharded over the 'tile' axis),
+    "radii"/"visibility" (gauss-sharded). Params/alive/mean2d_offset must be
+    row-sharded over `gauss_axes` (see shard_params).
+
+    `gauss_axes` may name several mesh axes, e.g. ("host", "gauss") for a
+    multi-host primitive-sharded run: the screen-packet all_gather then runs
+    hierarchically (ICI inside a host, DCN across hosts), and its autodiff
+    transpose — the parameter-gradient psum_scatter — follows the same
+    hierarchy. The 'tile' axis always stays intra-host (ICI): tile shards
+    exchange whole images' worth of gradients every step.
     """
     tile = settings.tile
     gx = (width + tile - 1) // tile
@@ -64,17 +78,28 @@ def make_sharded_render(mesh: Mesh, settings: RenderSettings, width: int, height
     assert gy % n_tile == 0, f"tile rows {gy} must divide over tile axis {n_tile}"
     gy_local = gy // n_tile
     cap_local = settings.instance_capacity // n_tile
+    gaxes = tuple(gauss_axes)
 
     # band coordinates: the blend kernel derives pixel y from the local tile
     # row, i.e. pixels are rendered as if the band started at y=0 — shift the
     # projected centers down by row0*tile inside local_render instead.
-    def local_render_shifted(params, alive, camera, bg):
+    def local_render_shifted(params, alive, mean2d_offset, camera, bg):
         row0_px = jax.lax.axis_index("tile") * gy_local * tile
 
-        screen = preprocess(params, alive, camera, settings, gx, gy)
-        screen_g = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "gauss", axis=0, tiled=True), screen
+        screen = preprocess(
+            params, alive, camera, settings, gx, gy, mean2d_offset
         )
+        # MemTile-join analogue: gather the compact screen packets from all
+        # gaussian shards (innermost axis first: ICI before DCN when
+        # gauss_axes spans hosts). In reverse-mode AD this all_gather
+        # transposes into a psum_scatter of the screen-space gradients back
+        # to the owning shard — the explicit gradient collective.
+        def gather(x):
+            for ax in reversed(gaxes):
+                x = jax.lax.all_gather(x, ax, axis=0, tiled=True)
+            return x
+
+        screen_g = jax.tree.map(gather, screen)
         radii = screen.radius
 
         row0 = jax.lax.axis_index("tile") * gy_local
@@ -104,25 +129,70 @@ def make_sharded_render(mesh: Mesh, settings: RenderSettings, width: int, height
         color = out.color + out.final_t[..., None] * bgc[None, None, :]
         img = tiles_to_image(color, gx, gy_local, tile, width, gy_local * tile)
         invd_img = tiles_to_image(out.invdepth, gx, gy_local, tile, width, gy_local * tile)
-        return img, invd_img, radii, bins.overflow[None]
+        return img, invd_img, radii, bins.overflow[None], bins.num_instances[None]
 
-    pspec = param_spec()
+    pspec = param_spec(gaxes)
+    gspec = P(gaxes)
     sharded = shard_map(
         local_render_shifted,
         mesh=mesh,
-        in_specs=(pspec, P("gauss"), P(), P()),
-        out_specs=(P("tile"), P("tile"), P("gauss"), P("tile")),
+        in_specs=(pspec, gspec, gspec, P(), P()),
+        out_specs=(P("tile"), P("tile"), gspec, P("tile"), P("tile")),
         check_vma=False,
     )
 
-    def render_fn(camera: Camera, params: GaussianParams, alive, bg):
-        img, invd, radii, overflow = sharded(params, alive, camera, bg)
+    def render_fn(
+        camera: Camera, params: GaussianParams, alive, bg,
+        mean2d_offset=None, exposure=None,
+    ):
+        if mean2d_offset is None:
+            mean2d_offset = jnp.zeros((params.capacity, 2), jnp.float32)
+        img, invd, radii, overflow, ninst = sharded(
+            params, alive, mean2d_offset, camera, bg
+        )
+        img = img[:height]
+        if exposure is not None:
+            # elementwise per pixel: the partitioner keeps it on tile shards
+            img = jnp.einsum(
+                "hwc,cd->hwd", img, exposure[:3, :3],
+                precision=jax.lax.Precision.HIGHEST,
+            ) + exposure[:3, 3]
         return {
-            "render": jnp.clip(img[:height], 0.0, 1.0),
+            "render": jnp.clip(img, 0.0, 1.0),
             "invdepth": invd[:height],
             "radii": radii,
             "visibility": radii > 0,
             "instance_overflow": overflow.sum(),
+            "tile_overflow": jnp.zeros((), jnp.int32),
+            "num_instances": ninst.sum(),
         }
 
     return render_fn
+
+
+def make_pipeline_train_step(
+    mesh: Mesh,
+    opt,
+    settings: RenderSettings,
+    width: int,
+    height: int,
+    use_exposure: bool = False,
+    gauss_axes=("gauss",),
+):
+    """Production multi-chip train step over the explicit shard_map pipeline.
+
+    Identical step semantics to `train.step.make_train_step`, with the render
+    replaced by `make_sharded_render`: parameters/Adam state stay row-sharded
+    on `gauss_axes`, the image/loss is tile-sharded, and the gradient
+    collectives are the explicit all_gather/psum_scatter pair inside the
+    shard_map (not partitioner-inferred). Use
+    `sharding.place_train_state(mesh, state)` to place the state.
+    """
+    from gsplat_tpu.train.step import make_train_step
+
+    render_fn = make_sharded_render(
+        mesh, settings, width, height, gauss_axes=gauss_axes
+    )
+    return make_train_step(
+        opt, settings, use_exposure=use_exposure, render_fn=render_fn
+    )

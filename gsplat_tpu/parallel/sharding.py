@@ -53,15 +53,17 @@ def make_mesh(n_gauss: int | None = None, n_tile: int | None = None, devices=Non
     return Mesh(devices.reshape(n_gauss, n_tile), ("gauss", "tile"))
 
 
-def param_spec() -> GaussianParams:
-    """Row-sharding over the gauss axis for every parameter leaf."""
+def param_spec(axes=("gauss",)) -> GaussianParams:
+    """Row-sharding over the gauss mesh axis (or axes, e.g. ("host","gauss")
+    for multi-host primitive sharding) for every parameter leaf."""
+    spec = P(tuple(axes))
     return GaussianParams(
-        xyz=P("gauss"),
-        features_dc=P("gauss"),
-        features_rest=P("gauss"),
-        scaling=P("gauss"),
-        rotation=P("gauss"),
-        opacity=P("gauss"),
+        xyz=spec,
+        features_dc=spec,
+        features_rest=spec,
+        scaling=spec,
+        rotation=spec,
+        opacity=spec,
     )
 
 
@@ -97,12 +99,12 @@ def sharded_render(mesh: Mesh, settings: RenderSettings):
     return _render
 
 
-def train_state_shardings(mesh: Mesh, state):
-    """NamedSharding pytree for a TrainState: model-row leaves on "gauss",
-    everything else replicated."""
-    gauss = NamedSharding(mesh, P("gauss"))
+def train_state_shardings(mesh: Mesh, state, gauss_axes=("gauss",)):
+    """NamedSharding pytree for a TrainState: model-row leaves on the gauss
+    axis (or axes), everything else replicated."""
+    gauss = NamedSharding(mesh, P(tuple(gauss_axes)))
     repl = NamedSharding(mesh, P())
-    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), param_spec())
+    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), param_spec(gauss_axes))
     return state.replace(
         params=pspec,
         adam_m=pspec,
@@ -115,10 +117,10 @@ def train_state_shardings(mesh: Mesh, state):
     )
 
 
-def place_train_state(mesh: Mesh, state):
+def place_train_state(mesh: Mesh, state, gauss_axes=("gauss",)):
     """Commit a TrainState to the mesh (initially, and after any
     gaussian-capacity resize, whose padded rows arrive host-placed)."""
-    return jax.device_put(state, train_state_shardings(mesh, state))
+    return jax.device_put(state, train_state_shardings(mesh, state, gauss_axes))
 
 
 def sharded_train_step(mesh: Mesh, opt, settings: RenderSettings, use_exposure=False):

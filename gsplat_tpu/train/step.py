@@ -67,6 +67,7 @@ def make_train_step(
     opt: OptimizationConfig,
     settings: RenderSettings,
     use_exposure: bool = False,
+    render_fn=None,
 ):
     """Build the jitted train step for a given static config.
 
@@ -77,14 +78,25 @@ def make_train_step(
 
     `invdepth_gt`/`depth_mask` are always passed (zeros when absent) with
     `depth_weight` scalar 0 gating them — one compiled program for all views.
+
+    `render_fn(camera, params, alive, bg, mean2d_offset=, exposure=)` lets a
+    multi-chip pipeline (parallel/pipeline.py) replace the single-device
+    renderer while keeping every other step semantic identical.
     """
     sparse = opt.optimizer_type == "sparse_adam"
+
+    if render_fn is None:
+        def render_fn(camera, params, alive, bg, mean2d_offset=None, exposure=None):
+            return render(
+                camera, params, alive, settings, bg,
+                mean2d_offset=mean2d_offset, exposure=exposure,
+            )
 
     def loss_fn(diff, state, camera, gt_image, alpha_mask, invdepth_gt, depth_mask, bg, depth_weight, exposure_index):
         params, exposure, mean2d_offset = diff
         exp_mat = exposure[exposure_index] if use_exposure else None
-        out = render(
-            camera, params, state.alive, settings, bg,
+        out = render_fn(
+            camera, params, state.alive, bg,
             mean2d_offset=mean2d_offset, exposure=exp_mat,
         )
         image = out["render"] * alpha_mask

@@ -36,9 +36,18 @@ def setup():
     return params, camera, alive, settings
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
-def test_sharded_render_matches_single_device(setup, mesh_shape):
+@pytest.mark.parametrize(
+    "mesh_shape,backend",
+    [
+        ((4, 2), "jnp"), ((2, 4), "jnp"), ((8, 1), "jnp"), ((1, 8), "jnp"),
+        # the flagship kernels under the mesh (Pallas interpreter on CPU):
+        # the fused binning + blend kernels run per tile-band inside shard_map
+        ((4, 2), "pallas"), ((1, 8), "pallas"),
+    ],
+)
+def test_sharded_render_matches_single_device(setup, mesh_shape, backend):
     params, camera, alive, settings = setup
+    settings = settings.replace(backend=backend)
     ref = jax.jit(lambda p, a: render(camera, p, a, settings, jnp.zeros(3)))(
         params, alive
     )
@@ -54,6 +63,31 @@ def test_sharded_render_matches_single_device(setup, mesh_shape):
         np.asarray(out["invdepth"]), np.asarray(ref["invdepth"]), atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(out["radii"]), np.asarray(ref["radii"]))
+
+
+def test_sharded_pallas_gradients_match(setup):
+    """Backward through the Pallas kernels inside shard_map: the custom-VJP
+    blend + segment reduction run per shard, and the all_gather transposes
+    into the psum_scatter of screen-space gradients."""
+    params, camera, alive, settings = setup
+    settings = settings.replace(backend="pallas")
+    mesh = make_mesh(n_gauss=2, n_tile=4)
+    sp, sa = shard_params(params, alive, mesh)
+    sr = make_sharded_render(mesh, settings, 128, 128)
+
+    def loss_single(p):
+        return (render(camera, p, alive, settings, jnp.zeros(3))["render"] ** 2).sum()
+
+    def loss_sharded(p):
+        return (sr(camera, p, sa, jnp.zeros(3))["render"] ** 2).sum()
+
+    g_ref = jax.jit(jax.grad(loss_single))(params)
+    g_sh = jax.jit(jax.grad(loss_sharded))(sp)
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_sh, name))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+        assert rel < 1e-5, f"{name}: rel {rel}"
 
 
 def test_sharded_gradients_match(setup):
@@ -125,3 +159,78 @@ def test_sharded_train_step_matches_single_device(setup, mesh_shape):
         np.asarray(ref_state.stats["grad_accum"]),
         atol=1e-5,
     )
+
+
+def test_pipeline_train_step_matches_single_device(setup):
+    """The explicit shard_map pipeline train step (the production multi-chip
+    path) must compute the same update as the single-device step."""
+    from gsplat_tpu.config import OptimizationConfig
+    from gsplat_tpu.parallel.pipeline import make_pipeline_train_step
+    from gsplat_tpu.parallel.sharding import place_train_state
+    from gsplat_tpu.train.step import init_train_state, make_train_step
+
+    params, camera, alive, settings = setup
+    opt = OptimizationConfig()
+    h, w = camera.height, camera.width
+    rng = np.random.default_rng(9)
+    gt = jnp.asarray(rng.random((h, w, 3), np.float32))
+    mask = jnp.ones((h, w, 1), jnp.float32)
+    invd = jnp.zeros((h, w), jnp.float32)
+    dmask = jnp.zeros((h, w), jnp.float32)
+    args = (camera, gt, mask, invd, dmask, jnp.zeros(3),
+            jnp.float32(1e-3), jnp.float32(1e-3), jnp.float32(0.0), jnp.int32(0))
+
+    ref_state, ref_metrics = make_train_step(opt, settings)(
+        init_train_state(params, alive, num_images=4), *args
+    )
+
+    mesh = make_mesh(n_gauss=4, n_tile=2)
+    step = make_pipeline_train_step(mesh, opt, settings, w, h)
+    sh_state, sh_metrics = step(
+        place_train_state(mesh, init_train_state(params, alive, num_images=4)), *args
+    )
+
+    np.testing.assert_allclose(
+        float(sh_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
+        a = np.asarray(getattr(sh_state.params, name))
+        b = np.asarray(getattr(ref_state.params, name))
+        np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f"params.{name}")
+    np.testing.assert_allclose(
+        np.asarray(sh_state.stats["grad_accum"]),
+        np.asarray(ref_state.stats["grad_accum"]),
+        atol=1e-5,
+    )
+
+
+def test_gspmd_step_actually_partitions(setup):
+    """A fully-replicated compilation would pass the numeric tests — assert
+    the compiled GSPMD train step really communicates: its HLO must contain
+    cross-device collectives (the tile-shard gradient reduction at minimum)."""
+    from gsplat_tpu.config import OptimizationConfig
+    from gsplat_tpu.parallel.sharding import sharded_train_step
+    from gsplat_tpu.train.step import init_train_state
+
+    params, camera, alive, settings = setup
+    opt = OptimizationConfig()
+    h, w = camera.height, camera.width
+    gt = jnp.zeros((h, w, 3), jnp.float32)
+    mask = jnp.ones((h, w, 1), jnp.float32)
+    zeros = jnp.zeros((h, w), jnp.float32)
+    args = (camera, gt, mask, zeros, zeros, jnp.zeros(3),
+            jnp.float32(1e-3), jnp.float32(1e-3), jnp.float32(0.0), jnp.int32(0))
+
+    mesh = make_mesh(n_gauss=4, n_tile=2)
+    step, place_state = sharded_train_step(mesh, opt, settings)
+    state = place_state(init_train_state(params, alive, num_images=2))
+    hlo = step.lower(state, *args).compile().as_text()
+    ops = [op for op in ("all-reduce", "all-gather", "reduce-scatter",
+                         "collective-permute", "all-to-all") if op in hlo]
+    assert ops, "compiled GSPMD step contains no cross-device collectives"
+
+
+def test_multihost_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multihost(8, 2)
