@@ -31,6 +31,17 @@ SH_C3 = (
     1.445305721320277,
     -0.5900435899266435,
 )
+SH_C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
 
 
 def num_sh_coeffs(degree: int) -> int:
@@ -41,7 +52,7 @@ def sh_basis(degree: int, dirs):
     """Real SH basis values for unit directions.
 
     Args:
-      degree: active SH degree in [0, 3] (static).
+      degree: active SH degree in [0, 4] (static).
       dirs: (..., 3) unit view directions (gaussian center - camera center).
 
     Returns:
@@ -74,6 +85,21 @@ def sh_basis(degree: int, dirs):
             SH_C3[4] * x * (4.0 * zz - xx - yy),
             SH_C3[5] * z * (xx - yy),
             SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    if degree >= 4:
+        # degree-4 band of the reference's python eval (`sh_utils.py:102-112`;
+        # the CUDA rasterizer caps at 3, `forward.cu:20-71`)
+        yz, xz = y * z, x * z
+        terms += [
+            SH_C4[0] * xy * (xx - yy),
+            SH_C4[1] * yz * (3.0 * xx - yy),
+            SH_C4[2] * xy * (7.0 * zz - 1.0),
+            SH_C4[3] * yz * (7.0 * zz - 3.0),
+            SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+            SH_C4[5] * xz * (7.0 * zz - 3.0),
+            SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0),
+            SH_C4[7] * xz * (xx - 3.0 * yy),
+            SH_C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
         ]
     return jnp.stack(terms, axis=-1)
 

@@ -441,20 +441,62 @@ def pack_bins(
 
     # --- one wide sort: (tile, depth-bits, gid) is a total order, ties match
     # bin_gaussians' stable two-sort order (depth bits of positive f32 are
-    # monotone in depth; equal depths fall back to gaussian id).
+    # monotone in depth; equal depths fall back to gaussian id). Sort cost
+    # scales ~linearly with operand count, so the payload is slimmed:
+    # invz never rides (it's recomputed from the sorted depth-bits key), and
+    # in bf16-packet mode the nine attribute columns ride as five
+    # bf16-pair-packed int32 columns.
+    if jnp.dtype(packet_dtype) == jnp.bfloat16:
+        def pack2(a, b):
+            ah = jax.lax.bitcast_convert_type(
+                a.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            bh = jax.lax.bitcast_convert_type(
+                b.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            return jax.lax.bitcast_convert_type((ah << 16) | bh, jnp.int32)
+
+        payload = tuple(
+            pack2(attrs[i], attrs[i + 1]) for i in range(0, 10, 2)
+        )  # (mx,my) (ca,cb) (cc,op) (r,g) (b,invz)
+    else:
+        payload = tuple(attrs[r] for r in range(9))  # mx..b (invz recomputed)
+
     sorted_ops = jax.lax.sort(
-        (ikeys[0], ikeys[1], ikeys[2]) + tuple(attrs[r] for r in range(10)),
-        num_keys=3,
-        is_stable=False,
+        (ikeys[0], ikeys[1], ikeys[2]) + payload, num_keys=3, is_stable=False
     )
-    tile_sorted, gauss_sorted = sorted_ops[0], sorted_ops[2]
-    attr_cols = sorted_ops[3:]
+    tile_sorted, dkey_sorted, gauss_sorted = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    sorted_payload = sorted_ops[3:]
 
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
 
-    zero = jnp.zeros((cap,), jnp.float32)
-    inst_t = jnp.stack(attr_cols + (zero,) * 6, axis=0).astype(packet_dtype)
+    slot_valid = tile_sorted < num_tiles
+    if jnp.dtype(packet_dtype) == jnp.bfloat16:
+        def unpack2(c):
+            cu = jax.lax.bitcast_convert_type(c, jnp.uint32)
+            hi = jax.lax.bitcast_convert_type(
+                (cu >> 16).astype(jnp.uint16), jnp.bfloat16
+            )
+            lo = jax.lax.bitcast_convert_type(
+                (cu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            )
+            return hi, lo
+
+        attr_cols = [x for c in sorted_payload for x in unpack2(c)]
+    else:
+        depth_sorted = jax.lax.bitcast_convert_type(dkey_sorted, jnp.float32)
+        # invalid tail slots carry garbage depth bits (possibly NaN/inf):
+        # sanitize so no non-finite value can enter the blend accumulators
+        invz_sorted = jnp.where(
+            slot_valid, 1.0 / jnp.maximum(depth_sorted, 0.2), 0.0
+        )
+        attr_cols = list(sorted_payload) + [invz_sorted]
+
+    zero = jnp.zeros((cap,), packet_dtype)
+    inst_t = jnp.stack(
+        [c.astype(packet_dtype) for c in attr_cols] + [zero] * 6, axis=0
+    )
 
     return PackedBins(
         inst_t=inst_t,

@@ -165,7 +165,7 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
         eff_prod=jnp.min(
             jnp.where(blended, cp_incl, 1.0), axis=1, keepdims=True
         ),
-        ca=ca, cb=cb, cc=cc, op=op,
+        ca=ca, cb=cb, cc=cc, op=op, mx=mx, my=my,
     )
 
 
@@ -348,6 +348,17 @@ def _bwd_kernel(
     nctotal = pl.cdiv(total, CHUNK)
     px, py = _pixel_coords(t, grid_x, tile)
 
+    # tile-local pixel polynomial basis for the gradient moments (see the
+    # moment computation in live_body); tile origins are exact small ints
+    ox = ((t % grid_x) * tile).astype(jnp.float32)
+    oy = ((t // grid_x) * tile).astype(jnp.float32)
+    pxl = px - ox  # (256,1) in [0, 16)
+    pyl = py - oy
+    ones_col = jnp.ones((PPT, 1), jnp.float32)
+    pix_basis = jnp.concatenate(
+        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
+    )  # (256, 6)
+
     dpix = dout_ref[0, :, 0:4]  # (256,4) cotangents of [r,g,b,invdepth]
     d_tfinal = dout_ref[0, :, 4:5]  # (256,1) cotangent of final transmittance
     t_final = fwd_ref[0, :, 4:5]  # (256,1) forward final transmittance
@@ -446,20 +457,40 @@ def _bwd_kernel(
             gate, q["t_excl"] * c - (suffix + bgdot) * inv_one_m, 0.0
         )  # (256,128)
 
-        # chain rule (backward.cu:615-636), true [a,b,c] conic gradients
+        # chain rule (backward.cu:615-636), true [a,b,c] conic gradients.
+        # Every per-instance gradient row is a pixel-sum of dgm times a
+        # polynomial in (dx, dy) of degree <= 2 — so instead of building six
+        # (256,128) integrands and reducing each (the hottest stretch of the
+        # round-1 backward), compute the SIX MOMENTS of dgm against the
+        # tile-local pixel basis [1, px, py, px^2, px*py, py^2] with ONE MXU
+        # matmul and assemble the rows from them with (1,128) math. Tile-
+        # local coordinates keep the mx^2*m0-style terms small so the
+        # recombination loses no more than ~1e-5 relative to the direct form.
         dG = q["op"] * dalpha  # (256,128)
         dgm = dG * q["g"]
-        dx, dy = q["dx"], q["dy"]
-        red = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1,128)
+        mom = jax.lax.dot_general(
+            pix_basis, dgm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (6,128): sums of dgm * [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2]
+        m0 = mom[0:1, :]
+        mxl = q["mx"] - ox  # (1,128) tile-local centers
+        myl = q["my"] - oy
+        s1x = mxl * m0 - mom[1:2, :]  # sum dgm*dx
+        s1y = myl * m0 - mom[2:3, :]  # sum dgm*dy
+        s2xx = mxl * mxl * m0 - 2.0 * mxl * mom[1:2, :] + mom[3:4, :]
+        s2xy = mxl * myl * m0 - mxl * mom[2:3, :] - myl * mom[1:2, :] + mom[4:5, :]
+        s2yy = myl * myl * m0 - 2.0 * myl * mom[2:3, :] + mom[5:6, :]
+        # d opacity = sum g*dalpha = (sum dgm)/op (op is per-gaussian)
+        d_op = m0 / jnp.maximum(q["op"], 1e-30)
 
         grad_rows = jnp.concatenate(
             [
-                red(dgm * -(q["ca"] * dx + q["cb"] * dy)),  # d mean2d_x
-                red(dgm * -(q["cc"] * dy + q["cb"] * dx)),  # d mean2d_y
-                red(dgm * (-0.5 * dx * dx)),  # d conic_a
-                red(dgm * (-dx * dy)),  # d conic_b
-                red(dgm * (-0.5 * dy * dy)),  # d conic_c
-                red(q["g"] * dalpha),  # d opacity
+                -(q["ca"] * s1x + q["cb"] * s1y),  # d mean2d_x
+                -(q["cc"] * s1y + q["cb"] * s1x),  # d mean2d_y
+                -0.5 * s2xx,  # d conic_a
+                -s2xy,  # d conic_b
+                -0.5 * s2yy,  # d conic_c
+                d_op,  # d opacity
             ],
             axis=0,
         )  # (6,128)

@@ -37,31 +37,51 @@ from gsplat_tpu.utils.general import expon_lr_func
 
 
 _PIXEL_CACHE = {}
+# HBM budget for cached camera pixel data. A lego/garden-class scene fits
+# entirely (the reference likewise keeps every camera on the GPU up front,
+# `scene/cameras.py:57`); a city-scale multi-thousand-view scene would OOM a
+# 16GB chip, so beyond the budget the cache evicts least-recently-used views
+# and pays the re-upload on revisit.
+_PIXEL_CACHE_BYTES = 6 << 30
+
+
+def _cache_nbytes(cache):
+    return sum(
+        sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in v)
+        for k, v in cache.items()
+        if isinstance(v, tuple)
+    )
 
 
 def _device_batch(cam, _cache=_PIXEL_CACHE):
-    """Ship one LoadedCamera's pixel data to device, cached per camera.
+    """Ship one LoadedCamera's pixel data to device, cached per camera (LRU).
 
     Device residency matters doubly here: the reference keeps every camera's
     tensors on the GPU up front (`scene/cameras.py:57`), and on this image
     host->device copies cross the axon tunnel (~seconds per 15MB re-upload).
     """
     key = (id(cam.image), cam.uid)
-    if key not in _cache:
-        h, w = cam.image.shape[:2]
-        gt = jnp.asarray(cam.image)
-        mask = jnp.asarray(cam.alpha_mask)
-        if cam.invdepth is not None:
-            invd = jnp.asarray(cam.invdepth)
-            dmask = jnp.asarray(cam.depth_mask[..., 0])
-        else:
-            # depthless cameras share ONE zeros array per shape (a fresh
-            # 2x(H,W) per camera would burn ~1.5GB HBM on a 100-view scene)
-            zkey = ("z", h, w)
-            if zkey not in _cache:
-                _cache[zkey] = jnp.zeros((h, w), jnp.float32)
-            invd = dmask = _cache[zkey]
-        _cache[key] = (gt, mask, invd, dmask)
+    if key in _cache:
+        val = _cache.pop(key)  # reinsert for LRU recency order
+        _cache[key] = val
+        return val
+    h, w = cam.image.shape[:2]
+    gt = jnp.asarray(cam.image)
+    mask = jnp.asarray(cam.alpha_mask)
+    if cam.invdepth is not None:
+        invd = jnp.asarray(cam.invdepth)
+        dmask = jnp.asarray(cam.depth_mask[..., 0])
+    else:
+        # depthless cameras share ONE zeros array per shape (a fresh
+        # 2x(H,W) per camera would burn ~1.5GB HBM on a 100-view scene)
+        zkey = ("z", h, w)
+        if zkey not in _cache:
+            _cache[zkey] = jnp.zeros((h, w), jnp.float32)
+        invd = dmask = _cache[zkey]
+    while _cache_nbytes(_cache) > _PIXEL_CACHE_BYTES:
+        oldest = next(k for k, v in _cache.items() if isinstance(v, tuple))
+        _cache.pop(oldest)
+    _cache[key] = (gt, mask, invd, dmask)
     return _cache[key]
 
 
