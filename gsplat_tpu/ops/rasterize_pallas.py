@@ -257,8 +257,12 @@ def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_r
         woff = g * CHUNK
         q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
+        # HIGHEST precision: the MXU's default single-pass bf16 matmul costs
+        # ~4e-3 relative error in the accumulated color on hardware (the CPU
+        # interpreter hides it); these matmuls are tiny, the passes are free
         accum = accum + jax.lax.dot_general(
             q["w"], feat_t, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (256, 4)
         if track_contrib:
@@ -444,6 +448,7 @@ def _bwd_kernel(
         # c_{p,j} = sum_ch feat_{ch,j} * dpix_{p,ch}
         c = jax.lax.dot_general(
             dpix, feat_t, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (256,128)
 
@@ -470,6 +475,7 @@ def _bwd_kernel(
         dgm = dG * q["g"]
         mom = jax.lax.dot_general(
             pix_basis, dgm, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (6,128): sums of dgm * [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2]
         m0 = mom[0:1, :]
@@ -495,7 +501,9 @@ def _bwd_kernel(
             axis=0,
         )  # (6,128)
         dfeat = jax.lax.dot_general(
-            dpix, q["w"], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dpix, q["w"], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )  # (4,128): d r, d g, d b, d invz
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)

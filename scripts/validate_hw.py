@@ -5,15 +5,13 @@ covers the CPU interpreter). Reference pattern: the AIE golden kernel tests
 run against real hardware (`GS-IRON/npu-1/NPU/test.cpp:377-382`).
 
 Prints max/mean differences for the render outputs and all parameter
-gradients, plus the count of pixels above a "blend-decision flip" threshold:
-the two implementations evaluate exp/cumprod with different (correctly-
-rounded vs fused) instruction sequences, so an instance sitting exactly on
-the alpha >= 1/255 or T >= 1e-4 cutoff can be blended by one and skipped by
-the other — a ~1-ulp input difference with a visible (~alpha*color) output
-difference at isolated pixels. Those flips are inherent to ANY pair of
-implementations (the CUDA reference differs from both in the same way); what
-this script guards is that they stay rare and bounded, and that gradients
-agree to float-accumulation level everywhere else.
+gradients. This script caught a real hardware-only bug in round 2: the blend
+kernels' feature/gradient matmuls ran at the MXU's default single-pass bf16
+precision — ~4e-3 relative error in every color and gradient — which the CPU
+interpreter (where the test suite runs) silently computes in exact f32.
+With precision=HIGHEST everywhere, measured hardware agreement (v5e,
+2026-08-19): outputs <= 5.4e-7 abs, all parameter gradients <= 3.2e-7
+relative, zero pixels above 1e-4.
 
 Exit code 0 = all checks pass. Run on the TPU; takes ~3 minutes of compiles.
 """
@@ -33,21 +31,24 @@ from gsplat_tpu.render import render
 from tests.oracle.reference_math import make_test_scene
 from tests.test_forward_vs_oracle import scene_to_inputs
 
-# outputs: worst-case localized blend-decision flip ~ alpha_min-scale color
-# jumps; gradients: float-accumulation level relative to the grad scale
-OUT_MAX_TOL = 3e-2
-OUT_MEAN_TOL = 1e-5
-FLIP_FRACTION_TOL = 2e-3  # fraction of pixels allowed above 1e-4 abs diff
-GRAD_REL_TOL = 5e-4
+# float-accumulation level, with headroom over the measured ~5e-7 / ~3e-7;
+# a blend-decision flip (an instance exactly on the alpha >= 1/255 or
+# T >= 1e-4 cutoff evaluated differently) would show up in the flip fraction
+OUT_MAX_TOL = 1e-4
+OUT_MEAN_TOL = 1e-6
+FLIP_FRACTION_TOL = 1e-4  # fraction of pixels allowed above 1e-4 abs diff
+GRAD_REL_TOL = 1e-5
 
 
 def main():
     print(f"devices: {jax.devices()}")
+    # scene sized so the jnp oracle's autodiff (which saves every scan chunk
+    # of (T, 256, chunk) intermediates) fits in 16GB HBM
     sc = make_test_scene(
-        np.random.default_rng(42), n=8000, width=320, height=240, sh_degree=3
+        np.random.default_rng(42), n=4000, width=192, height=160, sh_degree=3
     )
     params, camera, alive = scene_to_inputs(sc)
-    base = dict(sh_degree=3, max_per_tile=4096, instance_capacity=1 << 18)
+    base = dict(sh_degree=3, max_per_tile=2048, instance_capacity=1 << 17)
 
     def run(backend):
         settings = make_render_settings(backend=backend, **base)
