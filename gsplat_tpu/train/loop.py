@@ -281,13 +281,28 @@ def train(
 
     step_cache = {}
 
-    def step_fn(active_sh):
-        key = (active_sh, inst_cap)
+    def step_fn(active_sh, height, width):
+        key = (active_sh, inst_cap, height, width)
         if key not in step_cache:
             if mesh is not None:
-                step_cache[key], _ = sharded_train_step(
-                    mesh, opt, settings_for(active_sh), use_exposure=use_exposure
-                )
+                # production multi-chip path: the explicit shard_map pipeline
+                # (hierarchical all_gather of screen packets whose autodiff
+                # transpose is the gradient psum_scatter; the Pallas kernels
+                # run per tile shard). Falls back to the GSPMD-annotated step
+                # when the tile grid doesn't divide over the tile axis.
+                from gsplat_tpu.parallel.pipeline import make_pipeline_train_step
+
+                gy = (height + 15) // 16
+                if gy % mesh.shape["tile"] == 0:
+                    step_cache[key] = make_pipeline_train_step(
+                        mesh, opt, settings_for(active_sh), width, height,
+                        use_exposure=use_exposure,
+                    )
+                else:
+                    step_cache[key], _ = sharded_train_step(
+                        mesh, opt, settings_for(active_sh),
+                        use_exposure=use_exposure,
+                    )
             else:
                 step_cache[key] = make_train_step(
                     opt, settings_for(active_sh), use_exposure=use_exposure
@@ -353,7 +368,7 @@ def train(
         )
         depth_w = depth_sched(iteration) if cam.depth_reliable else 0.0
 
-        state, metrics = step_fn(active_sh)(
+        state, metrics = step_fn(active_sh, gt.shape[0], gt.shape[1])(
             state, cam.camera, gt, mask, invd, dmask, bg,
             jnp.float32(xyz_sched(iteration)), jnp.float32(exp_sched(iteration)),
             jnp.float32(depth_w), jnp.int32(cam.uid),
