@@ -35,9 +35,12 @@ early exit — becomes, per tile (one pallas grid step):
   already in flight (or resident, when shared) when its invocation starts,
   removing a cold-DMA bubble per tile.
 
-Instance data is gathered once outside the kernel into two HBM-resident
-arrays: `inst_t` (16, K) — rows [mx, my, conic_a, conic_b, conic_c, opacity,
-r, g, b, invz] in gaussian-lane layout — and per-tile [start, end) ranges.
+Instance data arrives pre-packed from the fused binning (`binning.pack_bins`,
+whose Pallas expand kernel + wide-payload sort produce it without any
+per-instance gather): `inst_t` (16, K) — rows [mx, my, conic_a, conic_b,
+conic_c, opacity, r, g, b, invz] in gaussian-lane layout — plus per-tile
+[start, end) ranges and the sorted instance -> gaussian id map for the
+backward's gradient scatter.
 """
 
 from __future__ import annotations
