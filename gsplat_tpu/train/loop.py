@@ -172,6 +172,19 @@ def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=No
         cameras = cameras[:max_views]
     if not cameras:
         return None
+    params, alive = state.params, state.alive
+    try:
+        sharded = len(params.xyz.sharding.device_set) > 1
+    except AttributeError:
+        sharded = False
+    if sharded:
+        # Evaluate on ONE device: compiling a second multi-device program for
+        # the eval sweep makes XLA:CPU's collective rendezvous flaky under
+        # host load (observed 6/8 threads arriving -> hard abort), and on
+        # real hardware an eval all-gather per view buys nothing either.
+        params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), params)
+        alive = jnp.asarray(np.asarray(alive))
+    state = state.replace(params=params, alive=alive)
     eval_one = _eval_fn(settings)
     l1s, psnrs = [], []
     for cam in cameras:
