@@ -71,6 +71,29 @@ class PackedBins:
     overflow: jax.Array  # () int32 instances dropped due to capacity
 
 
+def _check_f32_exact_limits(n: int, capacity: int) -> None:
+    """Fail loudly on the f32-exactness ceiling instead of corrupting renders.
+
+    Gaussian ids and cumulative instance counts ride the expand path as f32
+    (exact only below 2^24); the reference instead uses 64-bit keys and
+    dynamically resized buffers (`rasterizer_impl.cu:70-111`). Any scene that
+    trips this needs gaussian-axis sharding (`gsplat_tpu/parallel/`), which
+    divides both counts per shard. Emitted-instance counts past `capacity`
+    are already reported via the runtime `overflow` counter, and since
+    `capacity <= 2^24` is enforced here, a >2^24 emission count always
+    surfaces as overflow > 0 rather than silently mis-assigning slots."""
+    if capacity > (1 << 24):
+        raise ValueError(
+            f"instance capacity {capacity} exceeds the f32-exact ceiling 2^24; "
+            "shard the gaussian axis instead (parallel/pipeline.py)"
+        )
+    if n > (1 << 24):
+        raise ValueError(
+            f"gaussian count {n} exceeds the f32-exact gid ceiling 2^24; "
+            "shard the gaussian axis instead (parallel/pipeline.py)"
+        )
+
+
 def _rank_table(boundaries, size: int):
     """rank[j] = #entries with boundaries[b] <= j, for j in [0, size).
 
@@ -100,6 +123,7 @@ def bin_gaussians(
     num_tiles = grid_x * grid_y
     screen = jax.tree.map(jax.lax.stop_gradient, screen)
     n = screen.depth.shape[0]
+    _check_f32_exact_limits(n, capacity)
 
     # --- (1) depth-order the gaussians (small sort: N elements). Culled rows
     # (tiles_touched == 0) are pushed to the END of the order — they emit no
@@ -387,6 +411,7 @@ def pack_bins(
     num_tiles = grid_x * grid_y
     screen = jax.tree.map(jax.lax.stop_gradient, screen)
     n = screen.depth.shape[0]
+    _check_f32_exact_limits(n, capacity)
     cap = _round_up(capacity, _XCHUNK)
     m_pad = _round_up(n, 128) + _XWIN
 

@@ -78,10 +78,17 @@ def _device_batch(cam, _cache=_PIXEL_CACHE):
         if zkey not in _cache:
             _cache[zkey] = jnp.zeros((h, w), jnp.float32)
         invd = dmask = _cache[zkey]
-    while _cache_nbytes(_cache) > _PIXEL_CACHE_BYTES:
-        oldest = next(k for k, v in _cache.items() if isinstance(v, tuple))
+    entry = (gt, mask, invd, dmask)
+    # evict down to budget INCLUDING the incoming entry, so the cache never
+    # overshoots by one view's tensors (and a single over-budget view still
+    # gets cached after evicting everything else — it's in use regardless)
+    new_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in entry)
+    while _cache_nbytes(_cache) + new_bytes > _PIXEL_CACHE_BYTES:
+        oldest = next((k for k, v in _cache.items() if isinstance(v, tuple)), None)
+        if oldest is None:
+            break
         _cache.pop(oldest)
-    _cache[key] = (gt, mask, invd, dmask)
+    _cache[key] = entry
     return _cache[key]
 
 
@@ -182,8 +189,18 @@ def evaluate_test(state, cameras, settings, bg, use_exposure=False, max_views=No
         # the eval sweep makes XLA:CPU's collective rendezvous flaky under
         # host load (observed 6/8 threads arriving -> hard abort), and on
         # real hardware an eval all-gather per view buys nothing either.
-        params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), params)
-        alive = jnp.asarray(np.asarray(alive))
+        def _to_host(x):
+            if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+                # multi-host mesh (gauss_axes=("host","gauss")): np.asarray
+                # would raise on a non-fully-addressable array — gather the
+                # global value across processes first
+                from jax.experimental import multihost_utils
+
+                return jnp.asarray(multihost_utils.process_allgather(x, tiled=True))
+            return jnp.asarray(np.asarray(x))
+
+        params = jax.tree.map(_to_host, params)
+        alive = _to_host(alive)
     state = state.replace(params=params, alive=alive)
     eval_one = _eval_fn(settings)
     l1s, psnrs = [], []

@@ -44,7 +44,8 @@ def evaluate(model_paths):
                 "GSPLAT_LPIPS_WEIGHTS is set but the file does not exist: "
                 f"{os.environ['GSPLAT_LPIPS_WEIGHTS']!r}"
             )
-        print("WARNING: LPIPS weights unavailable — reporting lpips as null "
+        print("WARNING: LPIPS weights unavailable — reporting LPIPS as "
+              "'weights_unavailable' "
               "(set GSPLAT_LPIPS_WEIGHTS; see gsplat_tpu/eval/lpips_jax.py)",
               file=sys.stderr)
 
@@ -74,22 +75,27 @@ def evaluate(model_paths):
             psnrs = [float(x) for x in jax.device_get(psnrs)]
             if lpips_j:
                 lpipss = [float(x) for x in jax.device_get(lpipss)]
-            mean = lambda xs: float(np.mean([x for x in xs if x is not None])) if any(
-                x is not None for x in xs
-            ) else None
             print(f"    SSIM : {np.mean(ssims):.7f}")
             print(f"    PSNR : {np.mean(psnrs):.7f}")
             if lpips_j:
-                print(f"    LPIPS: {np.mean([l for l in lpipss]):.7f}")
+                lpips_full = float(np.mean(lpipss))
+                lpips_per_view = dict(zip(names, lpipss))
+                print(f"    LPIPS: {lpips_full:.7f}")
+            else:
+                # machine-readable marker (not null): weights genuinely can't
+                # be fetched in a no-egress environment; see module docstring
+                # of gsplat_tpu/eval/lpips_jax.py for how to provide them
+                lpips_full = "weights_unavailable"
+                lpips_per_view = {n: "weights_unavailable" for n in names}
             full[method] = {
                 "SSIM": float(np.mean(ssims)),
                 "PSNR": float(np.mean(psnrs)),
-                "LPIPS": mean(lpipss),
+                "LPIPS": lpips_full,
             }
             per_view[method] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),
-                "LPIPS": dict(zip(names, lpipss)),
+                "LPIPS": lpips_per_view,
             }
         with open(os.path.join(model_path, "results.json"), "w") as f:
             json.dump(full, f, indent=2)

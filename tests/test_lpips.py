@@ -122,3 +122,120 @@ def test_lpips_unavailable_reports(monkeypatch):
     with pytest.raises(FileNotFoundError):
         L._load_weights()
     L._load_weights.cache_clear()
+
+
+# torchvision VGG16 `.features` conv layer indices (the Sequential slots the
+# 13 convs occupy; pools/ReLUs fill the gaps) — the key layout the offline
+# converter must understand
+_VGG16_FEATURE_CONV_SLOTS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def test_convert_weights_end_to_end_through_metrics(tmp_path, monkeypatch):
+    """Prove the offline conversion path: synthetic torch checkpoints in the
+    real torchvision/LPIPS key layouts -> scripts/convert_lpips_weights.py ->
+    GSPLAT_LPIPS_WEIGHTS -> metrics.py producing real LPIPS floats.
+
+    (The true weights need network access this environment doesn't have —
+    `lpipsPyTorch/modules/utils.py:12-20` downloads them at runtime in the
+    reference — so the conversion machinery is what's validated here.)"""
+    import json
+    import sys
+
+    import torch
+    from PIL import Image
+
+    sys.path.insert(0, "/root/repo")
+    from scripts import convert_lpips_weights as conv_cli
+    import metrics as metrics_cli
+
+    rng = np.random.default_rng(3)
+
+    # synthetic checkpoints: small channels, REAL key layouts
+    vgg_state = {}
+    cin = 3
+    couts = [c for c, n in BLOCKS for _ in range(n)]
+    for slot, cout in zip(_VGG16_FEATURE_CONV_SLOTS, couts):
+        vgg_state[f"{slot}.weight"] = torch.tensor(
+            rng.normal(0, 0.25 / np.sqrt(cin * 9), (cout, cin, 3, 3)).astype(np.float32)
+        )
+        vgg_state[f"{slot}.bias"] = torch.tensor(
+            rng.normal(0, 0.05, (cout,)).astype(np.float32)
+        )
+        cin = cout
+    lpips_state = {
+        f"lin{k}.model.1.weight": torch.tensor(
+            np.abs(rng.normal(0, 1.0, (1, c, 1, 1))).astype(np.float32)
+        )
+        for k, (c, _) in enumerate(BLOCKS)
+    }
+    vgg_path = str(tmp_path / "vgg16_features.pth")
+    lp_path = str(tmp_path / "lpips_vgg_heads.pth")
+    torch.save(vgg_state, vgg_path)
+    torch.save(lpips_state, lp_path)
+
+    npz_path = str(tmp_path / "lpips_vgg.npz")
+    rc = conv_cli.main(
+        ["--vgg_state", vgg_path, "--lpips_state", lp_path, "--out", npz_path]
+    )
+    assert rc == 0
+    blob = np.load(npz_path)
+    # conv order must follow the Sequential slot order, not string order
+    np.testing.assert_array_equal(
+        blob["conv_2_w"], vgg_state["5.weight"].numpy()
+    )
+    assert blob["lin_4_w"].shape == (BLOCKS[4][0],)
+
+    # a tiny model dir with render/gt pairs -> metrics.py end to end
+    mdir = tmp_path / "model" / "test" / "ours_1"
+    for sub in ("renders", "gt"):
+        (mdir / sub).mkdir(parents=True)
+    for i in range(2):
+        a = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        b = np.clip(a + rng.normal(0, 12, a.shape), 0, 255).astype(np.uint8)
+        Image.fromarray(a).save(mdir / "renders" / f"{i:05d}.png")
+        Image.fromarray(b).save(mdir / "gt" / f"{i:05d}.png")
+
+    monkeypatch.setenv("GSPLAT_LPIPS_WEIGHTS", npz_path)
+    L._load_weights.cache_clear()
+    try:
+        rc = metrics_cli.main(["-m", str(tmp_path / "model")])
+        assert rc == 0
+        with open(tmp_path / "model" / "results.json") as f:
+            results = json.load(f)
+        r = results["ours_1"]
+        assert isinstance(r["LPIPS"], float) and np.isfinite(r["LPIPS"])
+        assert r["LPIPS"] > 0.0
+        with open(tmp_path / "model" / "per_view.json") as f:
+            pv = json.load(f)
+        assert all(
+            isinstance(v, float) for v in pv["ours_1"]["LPIPS"].values()
+        )
+    finally:
+        L._load_weights.cache_clear()
+
+
+def test_metrics_reports_unavailable_marker(tmp_path, monkeypatch):
+    """Without weights, metrics.py must publish the machine-readable
+    'weights_unavailable' marker, never a silent null."""
+    import json
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, "/root/repo")
+    import metrics as metrics_cli
+
+    mdir = tmp_path / "model" / "test" / "ours_1"
+    for sub in ("renders", "gt"):
+        (mdir / sub).mkdir(parents=True)
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(mdir / "renders" / "0.png")
+    Image.fromarray(img).save(mdir / "gt" / "0.png")
+
+    monkeypatch.delenv("GSPLAT_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.setattr(L, "weights_path", lambda: None)
+    rc = metrics_cli.main(["-m", str(tmp_path / "model")])
+    assert rc == 0
+    with open(tmp_path / "model" / "results.json") as f:
+        results = json.load(f)
+    assert results["ours_1"]["LPIPS"] == "weights_unavailable"
