@@ -56,6 +56,7 @@ def make_sharded_render(
     width: int,
     height: int,
     gauss_axes=("gauss",),
+    exchange_capacity: int | None = None,
 ):
     """Build a differentiable multi-chip render over the explicit pipeline.
 
@@ -70,6 +71,21 @@ def make_sharded_render(
     transpose — the parameter-gradient psum_scatter — follows the same
     hierarchy. The 'tile' axis always stays intra-host (ICI): tile shards
     exchange whole images' worth of gradients every step.
+
+    `exchange_capacity` switches the screen-packet exchange to the
+    BAND-BUCKETED form (docs/PERF_HEADROOM.md "Multi-chip cost model"): each
+    gaussian shard first compacts its packets to the rows whose tile rect
+    intersects the local device's band of tile rows (the MemTile
+    distribute/join analogue — the reference's AIE design likewise never
+    broadcast everything everywhere, `GS-IRON/npu-1/NPU/precomp.py:113-134`),
+    and the all_gather moves `exchange_capacity` rows per shard instead of
+    the full shard. This cuts both the ICI bytes and — the dominant term —
+    every post-gather O(N_global) stage (the pack_bins table build/cumsum)
+    down to the band's working set. The compaction is a row-gather, so its
+    autodiff transpose is a scatter-add back to the owning rows, composing
+    with the all_gather's psum_scatter transpose. Compaction overflow (more
+    band-intersecting rows than capacity) is counted in `instance_overflow`
+    — same contract as the instance buffer. None = the plain full gather.
     """
     tile = settings.tile
     gx = (width + tile - 1) // tile
@@ -89,6 +105,39 @@ def make_sharded_render(
         screen = preprocess(
             params, alive, camera, settings, gx, gy, mean2d_offset
         )
+        radii = screen.radius
+        row0_band = jax.lax.axis_index("tile") * gy_local
+        band_overflow = jnp.zeros((), jnp.int32)
+
+        if exchange_capacity is not None:
+            # band-bucketed exchange: keep only rows whose rect intersects
+            # this device's band before gathering. The selection index table
+            # is non-differentiable structure; the row-gather itself is in
+            # the autodiff graph (transpose: scatter-add to owning rows).
+            inter = (
+                screen.mask
+                & (screen.rect_min[:, 1] < row0_band + gy_local)
+                & (screen.rect_max[:, 1] > row0_band)
+            )
+            pos = jnp.cumsum(inter.astype(jnp.int32)) - 1
+            count = jnp.where(inter.shape[0] > 0, pos[-1] + 1, 0)
+            pos = jnp.where(inter & (pos < exchange_capacity), pos, exchange_capacity)
+            iota = jnp.arange(inter.shape[0], dtype=jnp.int32)
+            sel = (
+                jnp.zeros((exchange_capacity + 1,), jnp.int32)
+                .at[pos]
+                .set(iota, mode="drop")[:exchange_capacity]
+            )
+            sel = jax.lax.stop_gradient(sel)
+            slot_live = jnp.arange(exchange_capacity) < count
+            screen = jax.tree.map(lambda x: x[sel], screen)
+            # tail slots hold row duplicates — mask them out of the binning
+            screen = screen.replace(
+                mask=screen.mask & slot_live,
+                tiles_touched=jnp.where(slot_live, screen.tiles_touched, 0),
+            )
+            band_overflow = jnp.maximum(count - exchange_capacity, 0)
+
         # MemTile-join analogue: gather the compact screen packets from all
         # gaussian shards (innermost axis first: ICI before DCN when
         # gauss_axes spans hosts). In reverse-mode AD this all_gather
@@ -100,10 +149,8 @@ def make_sharded_render(
             return x
 
         screen_g = jax.tree.map(gather, screen)
-        radii = screen.radius
 
-        row0 = jax.lax.axis_index("tile") * gy_local
-        local = restrict_to_tile_rows(screen_g, row0, gy_local, gx)
+        local = restrict_to_tile_rows(screen_g, row0_band, gy_local, gx)
         local = local.replace(
             mean2d=local.mean2d - jnp.stack(
                 [jnp.zeros((), jnp.float32), row0_px.astype(jnp.float32)]
@@ -129,7 +176,10 @@ def make_sharded_render(
         color = out.color + out.final_t[..., None] * bgc[None, None, :]
         img = tiles_to_image(color, gx, gy_local, tile, width, gy_local * tile)
         invd_img = tiles_to_image(out.invdepth, gx, gy_local, tile, width, gy_local * tile)
-        return img, invd_img, radii, bins.overflow[None], bins.num_instances[None]
+        return (
+            img, invd_img, radii,
+            (bins.overflow + band_overflow)[None], bins.num_instances[None],
+        )
 
     pspec = param_spec(gaxes)
     gspec = P(gaxes)
@@ -178,6 +228,7 @@ def make_pipeline_train_step(
     height: int,
     use_exposure: bool = False,
     gauss_axes=("gauss",),
+    exchange_capacity: int | None = None,
 ):
     """Production multi-chip train step over the explicit shard_map pipeline.
 
@@ -191,7 +242,8 @@ def make_pipeline_train_step(
     from gsplat_tpu.train.step import make_train_step
 
     render_fn = make_sharded_render(
-        mesh, settings, width, height, gauss_axes=gauss_axes
+        mesh, settings, width, height, gauss_axes=gauss_axes,
+        exchange_capacity=exchange_capacity,
     )
     return make_train_step(
         opt, settings, use_exposure=use_exposure, render_fn=render_fn

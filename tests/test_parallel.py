@@ -234,3 +234,72 @@ def test_multihost_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multihost(8, 2)
+
+
+def test_band_exchange_matches_full_gather(setup):
+    """The band-bucketed packet exchange (compact-to-band before the gather,
+    docs/PERF_HEADROOM.md cost model) must be bit-exact vs the full-gather
+    pipeline — forward render AND one full train step — and must report
+    compaction overflow through instance_overflow when sized too small."""
+    from gsplat_tpu.config import OptimizationConfig
+    from gsplat_tpu.parallel.pipeline import make_pipeline_train_step
+    from gsplat_tpu.parallel.sharding import place_train_state
+    from gsplat_tpu.train.step import init_train_state
+
+    params, camera, alive, settings = setup
+    settings = settings.replace(backend="pallas")
+    mesh = make_mesh(n_gauss=2, n_tile=4)
+    sp, sa = shard_params(params, alive, mesh)
+
+    full = jax.jit(make_sharded_render(mesh, settings, 128, 128))(
+        camera, sp, sa, jnp.zeros(3)
+    )
+    # every shard row may intersect the band -> capacity = full shard is
+    # always exact; the win comes from smaller capacities on real scenes
+    n_loc = params.capacity // 2
+    band = jax.jit(
+        make_sharded_render(mesh, settings, 128, 128, exchange_capacity=n_loc)
+    )(camera, sp, sa, jnp.zeros(3))
+    assert int(band["instance_overflow"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(band["render"]), np.asarray(full["render"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(band["invdepth"]), np.asarray(full["invdepth"])
+    )
+
+    # one train step: gradients flow through the compaction row-gather (its
+    # transpose scatter-adds into the owning rows) — params must match the
+    # full-gather pipeline exactly
+    opt = OptimizationConfig()
+    h, w = camera.height, camera.width
+    rng = np.random.default_rng(11)
+    gt = jnp.asarray(rng.random((h, w, 3), np.float32))
+    mask = jnp.ones((h, w, 1), jnp.float32)
+    zeros = jnp.zeros((h, w), jnp.float32)
+    args = (camera, gt, mask, zeros, zeros, jnp.zeros(3),
+            jnp.float32(1e-3), jnp.float32(1e-3), jnp.float32(0.0), jnp.int32(0))
+
+    step_full = make_pipeline_train_step(mesh, opt, settings, w, h)
+    step_band = make_pipeline_train_step(
+        mesh, opt, settings, w, h, exchange_capacity=n_loc
+    )
+    st_full, m_full = step_full(
+        place_train_state(mesh, init_train_state(params, alive, num_images=4)), *args
+    )
+    st_band, m_band = step_band(
+        place_train_state(mesh, init_train_state(params, alive, num_images=4)), *args
+    )
+    np.testing.assert_array_equal(float(m_band["loss"]), float(m_full["loss"]))
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_band.params, name)),
+            np.asarray(getattr(st_full.params, name)),
+            err_msg=f"params.{name}",
+        )
+
+    # undersized exchange must surface as overflow, not silent truncation
+    tiny = jax.jit(
+        make_sharded_render(mesh, settings, 128, 128, exchange_capacity=16)
+    )(camera, sp, sa, jnp.zeros(3))
+    assert int(tiny["instance_overflow"]) > 0
