@@ -80,8 +80,10 @@ def main(argv=None):
 
         iters = sorted({7000, args.iterations})
         iters_s = " ".join(str(i) for i in iters)
+        # no --quiet: the per-10-iteration progress lines double as the
+        # stall watchdog's liveness signal (train_supervised.py)
         common = (
-            f" --quiet --eval --iterations {args.iterations}"
+            f" --eval --iterations {args.iterations}"
             f" --test_iterations {iters_s} --save_iterations {iters_s} "
             f"--backend {args.backend} --disable_viewer --checkpoint_every 500"
         )

@@ -432,9 +432,12 @@ def pack_bins(
         liv(screen.depth, 1.0),  # _T_DEPTH (value; kernel bitcasts)
         liv(screen.mean2d[:, 0]),  # mx
         liv(screen.mean2d[:, 1]),  # my
-        liv(screen.conic[:, 0]),  # ca
-        liv(screen.conic[:, 1]),  # cb
-        liv(screen.conic[:, 2]),  # cc
+        # conic rows ride PRE-FOLDED as [-a/2, -b, -c/2] (exact power-of-two
+        # and negation scalings) so the blend's alpha quadratic needs no
+        # -0.5 multiply per (pixel, gaussian) pair — see _chunk_blend
+        liv(-0.5 * screen.conic[:, 0]),  # ca_f
+        liv(-screen.conic[:, 1]),  # cb_f
+        liv(-0.5 * screen.conic[:, 2]),  # cc_f
         liv(screen.opacity),  # op
         liv(screen.rgb[:, 0]),  # r
         liv(screen.rgb[:, 1]),  # g

@@ -126,20 +126,29 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
 
     `lo`/`hi` bound the valid lanes of this 128-aligned window chunk: lanes
     < lo belong to the previous tile's range, lanes >= hi to the next one's
-    (or padding); both blend as alpha = 0."""
+    (or padding); both blend as alpha = 0.
+
+    The packet's conic rows arrive PRE-FOLDED as [-ca/2, -cb, -cc/2]
+    (pack-time exact power-of-two/negation scalings, `binning.pack_bins`),
+    so the quadratic needs no -0.5 multiply; the association order below
+    keeps `power` bitwise identical to -0.5*(ca dx^2 + cc dy^2) - cb dx dy
+    (`forward.cu:336-339`)."""
     blk = blk.astype(jnp.float32)  # no-op for f32 packets; upcast for bf16
     mx = blk[_ROW_MX : _ROW_MX + 1, :]
     my = blk[_ROW_MY : _ROW_MY + 1, :]
-    ca = blk[_ROW_CA : _ROW_CA + 1, :]
-    cb = blk[_ROW_CB : _ROW_CB + 1, :]
-    cc = blk[_ROW_CC : _ROW_CC + 1, :]
+    ca = blk[_ROW_CA : _ROW_CA + 1, :]  # folded: -conic_a/2
+    cb = blk[_ROW_CB : _ROW_CB + 1, :]  # folded: -conic_b
+    cc = blk[_ROW_CC : _ROW_CC + 1, :]  # folded: -conic_c/2
     op = blk[_ROW_OP : _ROW_OP + 1, :]
 
     dx = mx - px  # (256,128)
     dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power = (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
-    valid = (lane >= lo) & (lane < hi)
+    # one unsigned compare replaces (lane >= lo) & (lane < hi): lanes below
+    # lo wrap to huge uint32 values (lo <= lane always has hi > lo here —
+    # chunks are only walked inside a non-empty [s, e) range)
+    valid = (lane - lo).astype(jnp.uint32) < (hi - lo).astype(jnp.uint32)
     g = jnp.exp(power)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
@@ -367,6 +376,8 @@ def _bwd_kernel(
     )  # (256, 6)
 
     dpix = dout_ref[0, :, 0:4]  # (256,4) cotangents of [r,g,b,invdepth]
+    # loop-invariant LHS of the merged moment/feature matmul (see live_body)
+    basis_dpix = jnp.concatenate([pix_basis, dpix], axis=1)  # (256, 10)
     d_tfinal = dout_ref[0, :, 4:5]  # (256,1) cotangent of final transmittance
     t_final = fwd_ref[0, :, 4:5]  # (256,1) forward final transmittance
     # S_total_p = sum_k w_k c_k  — recovered from the forward accumulators
@@ -448,11 +459,15 @@ def _bwd_kernel(
         q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
-        # c_{p,j} = sum_ch feat_{ch,j} * dpix_{p,ch}
-        c = jax.lax.dot_general(
-            dpix, feat_t, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+        # c_{p,j} = sum_ch feat_{ch,j} * dpix_{p,ch} — a K=4 contraction:
+        # four VPU broadcast multiply-adds (~0.25us) beat a latency-bound
+        # multi-pass HIGHEST matmul (~0.7us; same finding as the rejected
+        # K=6 power matmul, docs/PERF_HEADROOM.md)
+        c = (
+            dpix[:, 0:1] * feat_t[0:1, :]
+            + dpix[:, 1:2] * feat_t[1:2, :]
+            + dpix[:, 2:3] * feat_t[2:3, :]
+            + dpix[:, 3:4] * feat_t[3:4, :]
         )  # (256,128)
 
         wc = q["w"] * c
@@ -476,11 +491,19 @@ def _bwd_kernel(
         # recombination loses no more than ~1e-5 relative to the direct form.
         dG = q["op"] * dalpha  # (256,128)
         dgm = dG * q["g"]
-        mom = jax.lax.dot_general(
-            pix_basis, dgm, (((0,), (0,)), ((), ())),
+        # ONE merged 256-deep HIGHEST matmul computes both the six moments
+        # of dgm against the tile-local pixel basis AND the four feature
+        # gradients (two separate matmuls were latency-bound: each multi-
+        # pass HIGHEST dispatch costs ~0.7us against ~0.1us of extra width)
+        both = jax.lax.dot_general(
+            basis_dpix,
+            jnp.concatenate([dgm, q["w"]], axis=1),  # (256, 256)
+            (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (6,128): sums of dgm * [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2]
+        )  # (10, 256): [0:6, 0:128] = moments, [6:10, 128:256] = dfeat
+        mom = both[0:6, 0:CHUNK]
+        dfeat = both[6:10, CHUNK : 2 * CHUNK]  # (4,128): d r, g, b, invz
         m0 = mom[0:1, :]
         mxl = q["mx"] - ox  # (1,128) tile-local centers
         myl = q["my"] - oy
@@ -492,22 +515,19 @@ def _bwd_kernel(
         # d opacity = sum g*dalpha = (sum dgm)/op (op is per-gaussian)
         d_op = m0 / jnp.maximum(q["op"], 1e-30)
 
+        # mean2d gradients from the FOLDED conic rows (ca_f = -ca/2,
+        # cb_f = -cb): -(ca s1x + cb s1y) == 2 ca_f s1x + cb_f s1y
         grad_rows = jnp.concatenate(
             [
-                -(q["ca"] * s1x + q["cb"] * s1y),  # d mean2d_x
-                -(q["cc"] * s1y + q["cb"] * s1x),  # d mean2d_y
-                -0.5 * s2xx,  # d conic_a
+                (q["ca"] + q["ca"]) * s1x + q["cb"] * s1y,  # d mean2d_x
+                (q["cc"] + q["cc"]) * s1y + q["cb"] * s1x,  # d mean2d_y
+                -0.5 * s2xx,  # d conic_a (true-conic basis)
                 -s2xy,  # d conic_b
                 -0.5 * s2yy,  # d conic_c
                 d_op,  # d opacity
             ],
             axis=0,
         )  # (6,128)
-        dfeat = jax.lax.dot_general(
-            dpix, q["w"], (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (4,128): d r, d g, d b, d invz
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
 
@@ -610,15 +630,14 @@ def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool):
         )  # (16, K)
         # mask padding slots and any segment tail garbage before reduction
         dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
-        # CUDA atomicAdd -> ONE column-wise scatter-add over the sorted
-        # instance -> gaussian map, in the kernel's own (16, K) layout (a
-        # (16, K) -> (K, 16) transpose before a row-wise segment_sum cost
-        # ~3ms/frame for nothing; the column scatter runs at the same
-        # scatter-engine rate). Ten per-column scatters fused together would
-        # serialize on TPU (same pathology as column gathers — binning.py).
-        drows = (
-            jnp.zeros((N_ROWS, n_gauss), jnp.float32).at[:, gauss_id].add(dinst)
-        )  # (16, N)
+        # CUDA atomicAdd -> gid sort-back + streaming one-hot MXU reduce
+        # (ops/reduce.py). The round-1/2 XLA column scatter ran on the
+        # scalar scatter engine at ~18ns/instance (21ms/frame at 1.13M
+        # instances, ~103ns/inst at garden scale); the sort+reduce pair
+        # rides the sort and matrix engines instead and scales ~linearly.
+        from gsplat_tpu.ops.reduce import reduce_by_gid
+
+        drows = reduce_by_gid(dinst, gauss_id, n_gauss)  # (16, N)
         d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
         d_conic = drows[_ROW_CA : _ROW_CC + 1].T
         d_op = drows[_ROW_OP]
@@ -710,9 +729,11 @@ def pack_from_tilebins(
     k = bins.gauss_id.shape[0]
     k_pad = _round_up(k, CHUNK)
     invz = 1.0 / jnp.maximum(screen.depth, 0.2)
+    # conic folded to [-a/2, -b, -c/2], matching pack_bins' packet layout
+    conic_f = screen.conic * jnp.asarray([-0.5, -1.0, -0.5], jnp.float32)
     table = jnp.concatenate(
         [
-            screen.mean2d, screen.conic, screen.opacity[:, None], screen.rgb,
+            screen.mean2d, conic_f, screen.opacity[:, None], screen.rgb,
             invz[:, None],
             jnp.zeros((screen.mean2d.shape[0], N_ROWS - 10), jnp.float32),
         ],

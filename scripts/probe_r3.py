@@ -141,22 +141,88 @@ def main():
     t, _ = timeit(f2, tk, dk, *f32cols[:9])
     print(f"sort 2 keys + 9 f32 payload  {t*1e3:8.2f} ms")
 
-    # batched per-band sorts: (bands, K/bands) along last axis
-    for bands in (17, 68):
-        kb = (k_pad + bands - 1) // bands
-        tkb = tk[: bands * kb].reshape(bands, kb)
-        dkb = dk[: bands * kb].reshape(bands, kb)
-        colsb = [c[: bands * kb].reshape(bands, kb) for c in f32cols]
+    # batched per-band sorts: (bands, K/bands) along last axis. Two sizings:
+    # evenly-split (ideal) and x1.6 padded rows (realistic max-band padding)
+    for bands in (4, 8, 17, 68):
+        for blowup in (1.0, 1.6):
+            kb = int((k_pad * blowup) / bands + 511) // 512 * 512
+            tot = bands * kb
+            reps = (tot + k_pad - 1) // k_pad
+            tkb = jnp.tile(tk, reps)[:tot].reshape(bands, kb)
+            dkb = jnp.tile(dk, reps)[:tot].reshape(bands, kb)
+            colsb = [jnp.tile(c, reps)[:tot].reshape(bands, kb) for c in f32cols]
+            fb = jax.jit(
+                lambda a, b, *cols: jax.lax.sort(
+                    (a, b) + cols, num_keys=2, is_stable=False, dimension=1
+                )
+            )
+            t, _ = timeit(fb, tkb, dkb, *colsb)
+            print(f"batched sort {bands}x{kb} 2keys+9pay (x{blowup}) {t*1e3:8.2f} ms")
+
+    # ---- garden-scale points: sort + scatter at K = 4.5M
+    kg = 4_500_000 // 512 * 512
+    tkg = jnp.asarray(keys.integers(0, 8160, kg, dtype=np.int32))
+    dkg = jnp.asarray(keys.integers(0, 1 << 30, kg, dtype=np.int32))
+    gkg = jnp.asarray(keys.integers(0, 1 << 20, kg, dtype=np.int32))
+    f32g = [jnp.asarray(keys.random(kg, np.float32)) for _ in range(9)]
+    fg = jax.jit(
+        lambda a, b, c, *cols: jax.lax.sort(
+            (a, b, c) + cols, num_keys=3, is_stable=False
+        )
+    )
+    t, _ = timeit(fg, tkg, dkg, gkg, *f32g, iters=5)
+    print(f"sort 3keys+9pay @4.5M       {t*1e3:8.2f} ms")
+    dg = jnp.asarray(keys.random((N_ROWS, kg), np.float32))
+    ng = 1 << 20
+    scg = jax.jit(lambda d, g: jnp.zeros((N_ROWS, ng), jnp.float32).at[:, g].add(d))
+    t, _ = timeit(scg, dg, gkg, iters=5)
+    print(f"scatter (16,4.5M)->(16,1M)  {t*1e3:8.2f} ms")
+    for bands in (8, 17):
+        kb = int((kg * 1.3) / bands + 511) // 512 * 512
+        tot = bands * kb
+        reps = (tot + kg - 1) // kg
+        tkb = jnp.tile(tkg, reps)[:tot].reshape(bands, kb)
+        dkb = jnp.tile(dkg, reps)[:tot].reshape(bands, kb)
+        colsb = [jnp.tile(c, reps)[:tot].reshape(bands, kb) for c in f32g]
         fb = jax.jit(
             lambda a, b, *cols: jax.lax.sort(
                 (a, b) + cols, num_keys=2, is_stable=False, dimension=1
             )
         )
-        t, _ = timeit(fb, tkb, dkb, *colsb)
-        print(f"batched sort {bands}x{kb} 2keys+9pay {t*1e3:8.2f} ms")
+        t, _ = timeit(fb, tkb, dkb, *colsb, iters=5)
+        print(f"batched sort {bands}x{kb} 2keys+9pay @garden {t*1e3:8.2f} ms")
 
-    # ---- expand kernel alone (re-using pack_bins internals' cost indirectly):
-    # measured as pack_bins minus sort (9 ops) minus glue; print components
+    # ---- batched power matmul: B(256,6) @ Q(6,128k) HIGHEST vs the ~9 VPU
+    # ops/chunk it would replace (is a k-wide rhs cheap enough per chunk?)
+    B = jnp.asarray(keys.random((256, 8), np.float32))  # pad 6->8 sublanes
+    for kappa in (1, 2, 4, 8, 16):
+        Q = jnp.asarray(keys.random((8, 128 * kappa), np.float32))
+
+        def mm(B, Q, kappa=kappa):
+            def body(i, acc):
+                return acc + jax.lax.dot_general(
+                    B, Q, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+            return jax.lax.fori_loop(0, 200, body, jnp.zeros((256, 128 * kappa)))
+
+        t, _ = timeit(jax.jit(mm), B, Q)
+        print(f"power matmul kappa={kappa:2d}  {t/200*1e6:8.2f} us/call "
+              f"({t/200/kappa*1e6:.2f} us/chunk)")
+
+    # VPU baseline: 9 elementwise ops on (256,128)
+    X = jnp.asarray(keys.random((256, 128), np.float32))
+
+    def vpu(X):
+        def body(i, a):
+            for _ in range(3):
+                a = a * X + X
+            return a * 1.0000001
+        return jax.lax.fori_loop(0, 200, body, X)
+
+    t, _ = timeit(jax.jit(vpu), X)
+    print(f"VPU 9ops on (256,128)       {t/200*1e6:8.2f} us/chunk-equiv")
     print("done")
 
 

@@ -99,13 +99,20 @@ def main(argv=None):
             proc = run_once(cur_args, log_f)
             deadline = time.time() + args.startup_grace
             last_size = os.path.getsize(log_path)
+            last_ckpt = os.path.getmtime(rolling) if os.path.exists(rolling) else 0.0
             while True:
                 rc = proc.poll()
                 if rc is not None:
                     break
+                # progress = log growth OR a fresh rolling checkpoint (the
+                # checkpoint lands every --checkpoint_every iters, so quiet
+                # runs — e.g. full_eval's — don't read as stalls between
+                # their sparse test-iteration prints)
                 size = os.path.getsize(log_path)
-                if size != last_size:
+                ckpt = os.path.getmtime(rolling) if os.path.exists(rolling) else 0.0
+                if size != last_size or ckpt != last_ckpt:
                     last_size = size
+                    last_ckpt = ckpt
                     deadline = time.time() + args.stall_timeout
                 if time.time() > deadline:
                     print(

@@ -57,13 +57,15 @@ def test_pack_bins_matches_bin_gaussians(seed, n, tight_cull):
         np.asarray(pb.gauss_id)[:k][valid], np.asarray(bins.gauss_id)[valid]
     )
 
-    # packed attributes == per-gaussian values, bitwise
+    # packed attributes == per-gaussian values, bitwise (conic rides
+    # pre-folded as [-a/2, -b, -c/2] — exact scalings, see pack_bins)
     gid = np.asarray(bins.gauss_id)
     table = np.stack(
         [
             np.asarray(screen.mean2d[:, 0]), np.asarray(screen.mean2d[:, 1]),
-            np.asarray(screen.conic[:, 0]), np.asarray(screen.conic[:, 1]),
-            np.asarray(screen.conic[:, 2]), np.asarray(screen.opacity),
+            -0.5 * np.asarray(screen.conic[:, 0]),
+            -np.asarray(screen.conic[:, 1]),
+            -0.5 * np.asarray(screen.conic[:, 2]), np.asarray(screen.opacity),
             np.asarray(screen.rgb[:, 0]), np.asarray(screen.rgb[:, 1]),
             np.asarray(screen.rgb[:, 2]),
             np.asarray(1.0 / np.maximum(np.asarray(screen.depth), 0.2)),

@@ -291,10 +291,17 @@ def test_band_exchange_matches_full_gather(setup):
         place_train_state(mesh, init_train_state(params, alive, num_images=4)), *args
     )
     np.testing.assert_array_equal(float(m_band["loss"]), float(m_full["loss"]))
+    # params after the step are allclose, not bitwise: the gradient
+    # reduction (ops/reduce.py) sorts per-instance rows by gid with an
+    # UNSTABLE sort, so the f32 summation order within one gaussian depends
+    # on the instance-buffer layout, which differs between the band
+    # (exchange_capacity rows) and full (whole-shard) pipelines — ulp-level
+    # drift only (forward render/loss above are still bit-exact)
     for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
-        np.testing.assert_array_equal(
+        np.testing.assert_allclose(
             np.asarray(getattr(st_band.params, name)),
             np.asarray(getattr(st_full.params, name)),
+            rtol=1e-5, atol=1e-7,
             err_msg=f"params.{name}",
         )
 
