@@ -50,6 +50,9 @@ class PipelineConfig:
     antialiasing: bool = False
     debug: bool = False
     backend: str = "pallas"  # "jnp" | "pallas"
+    # "sorted" (reference parity) | "oit" (opt-in order-independent
+    # transmittance fast mode — see RenderSettings.blend_mode)
+    blend_mode: str = "sorted"
     # 0 -> auto: probe the scene at startup and grow on demand (the TPU
     # analogue of the reference's dynamic buffer resize,
     # `rasterize_points.cu:27-33`). A positive value fixes the capacity.

@@ -143,6 +143,12 @@ class RenderSettings:
     # Costs ~25% of the forward blend kernel; nothing in training consumes it
     # (the backward re-walks the stream), so it's opt-in.
     track_contrib: bool = False
+    # "sorted" = reference-parity front-to-back blend over the (tile, depth)
+    # sort order. "oit" = opt-in order-independent transmittance: per-pixel
+    # depth-weighted commutative sums (weighted-blended OIT adapted to 3DGS;
+    # PERF_HEADROOM #4 / PAPERS.md) — exact total transmittance, approximate
+    # occlusion ordering, NO sequential recurrences in forward or backward.
+    blend_mode: str = "sorted"  # "sorted" | "oit"
 
 
 def make_render_settings(**kw) -> RenderSettings:

@@ -172,6 +172,100 @@ def blend_tiles_jnp(
     )
 
 
+def blend_tiles_oit_jnp(
+    screen: ScreenGaussians,
+    bins: TileBins,
+    grid_x: int,
+    grid_y: int,
+    tile: int,
+    max_per_tile: int,
+    chunk: int,
+) -> BlendOutput:
+    """Order-independent transmittance blend (jnp oracle for the OIT mode).
+
+    Weighted-blended OIT adapted to 3DGS (PERF_HEADROOM #4): per pixel,
+    commutative sums replace the front-to-back recurrence —
+
+        N    = sum_i alpha_i w_i [r, g, b, invz]_i   (w_i = invz_i^2)
+        D    = sum_i alpha_i w_i
+        T    = prod_i (1 - alpha_i)                  (exact, order-free)
+        out  = N / max(D, eps) * (1 - T);  final_t = T
+
+    alpha/keep rules are identical to the sorted path, so a scene whose
+    splats rarely overlap renders identically; overlapping splats blend by
+    depth weight instead of strict occlusion order. No sort order is
+    consumed (the instance stream may arrive in any per-tile order)."""
+    num_tiles = grid_x * grid_y
+    ppt = tile * tile
+    max_per_tile = max(chunk, (max_per_tile + chunk - 1) // chunk * chunk)
+    pix = tile_pixel_coords(grid_x, grid_y, tile)
+
+    lane = jnp.arange(max_per_tile, dtype=jnp.int32)
+    idx = bins.tile_start[:, None] + lane[None, :]
+    in_range = idx < bins.tile_end[:, None]
+    idx = jnp.minimum(idx, bins.gauss_id.shape[0] - 1)
+    per_tile_overflow = jnp.maximum(
+        bins.tile_end - bins.tile_start - max_per_tile, 0
+    ).sum()
+    inv_depth = 1.0 / jnp.maximum(screen.depth, 0.2)
+
+    n_chunks = max_per_tile // chunk
+    idx_chunks = jnp.moveaxis(idx.reshape(num_tiles, n_chunks, chunk), 1, 0)
+    msk_chunks = jnp.moveaxis(in_range.reshape(num_tiles, n_chunks, chunk), 1, 0)
+
+    def step(carry, xs):
+        numer, denom, logt = carry
+        ids, m = xs
+        g = bins.gauss_id[ids]
+        mean2d = screen.mean2d[g]
+        conic = screen.conic[g]
+        opac = screen.opacity[g]
+        rgb = screen.rgb[g]
+        invz = inv_depth[g]
+
+        d = mean2d[:, None, :, :] - pix[:, :, None, :]
+        dx, dy = d[..., 0], d[..., 1]
+        a, b, c = conic[..., 0], conic[..., 1], conic[..., 2]
+        power = (
+            -0.5 * (a[:, None, :] * dx * dx + c[:, None, :] * dy * dy)
+            - b[:, None, :] * dx * dy
+        )
+        alpha_raw = opac[:, None, :] * jnp.exp(power)
+        alpha = alpha_raw + jax.lax.stop_gradient(
+            jnp.minimum(alpha_raw, ALPHA_MAX) - alpha_raw
+        )
+        keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & m[:, None, :]
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        wz = (invz * invz)[:, None, :]
+        aw = alpha * wz  # (T, ppt, C)
+        feat = jnp.concatenate([rgb, invz[..., None]], axis=-1)  # (T, C, 4)
+        numer = numer + jnp.einsum(
+            "tpc,tcx->tpx", aw, feat, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        denom = denom + jnp.sum(aw, axis=-1)
+        logt = logt + jnp.sum(jnp.log1p(-alpha), axis=-1)
+        return (numer, denom, logt), None
+
+    init = (
+        jnp.zeros((num_tiles, ppt, 4), jnp.float32),
+        jnp.zeros((num_tiles, ppt), jnp.float32),
+        jnp.zeros((num_tiles, ppt), jnp.float32),
+    )
+    (numer, denom, logt), _ = jax.lax.scan(step, init, (idx_chunks, msk_chunks))
+
+    t_final = jnp.exp(logt)
+    w = (1.0 - t_final) / jnp.maximum(denom, 1e-8)
+    return BlendOutput(
+        color=numer[..., 0:3] * w[..., None],
+        invdepth=numer[..., 3] * w,
+        final_t=t_final,
+        n_contrib=jnp.zeros((num_tiles, ppt), jnp.int32),
+        overflow=per_tile_overflow.astype(jnp.int32),
+    )
+
+
 def tiles_to_image(tiled, grid_x: int, grid_y: int, tile: int, width: int, height: int):
     """(T, tile*tile, C?) -> (H, W, C?) crop."""
     chans = tiled.shape[2:] if tiled.ndim > 2 else ()

@@ -350,6 +350,60 @@ _WCNT = 3  # number of gradient-chunk writes issued so far
 _WCH0 = 4  # chunk index of the write in flight per slot (4, 5)
 
 
+def _make_emit(nch, e, total, dinst_ref, grad_scr, carry_scr, out_sems, cur):
+    """Carry/hold/write protocol for per-chunk gradient blocks, shared by the
+    sorted and OIT backward kernels (see _bwd_kernel's docstrings)."""
+
+    def wr_wait(slot):
+        g_prev = cur[_WCH0 + slot]
+        pltpu.make_async_copy(
+            grad_scr.at[slot],
+            dinst_ref.at[:, pl.ds(pl.multiple_of(g_prev * CHUNK, CHUNK), CHUNK)],
+            out_sems.at[slot],
+        ).wait()
+
+    def emit(ci, g, grads):
+        # a boundary chunk shared with the PREVIOUS tile arrives as a VMEM
+        # carry, not an HBM read-modify-write (which would stall every tile
+        # on a full HBM round trip). NaN-safe: where() selects, never reads
+        # through, on the untaken branch (carry_scr starts uninitialized).
+        take_carry = (ci == 0) & (cur[_PEND] == 1)
+        grads = grads + jnp.where(take_carry, carry_scr[...], 0.0)
+        # if OUR range ends mid-chunk and later instances exist, the NEXT
+        # non-empty tile also contributes to this chunk: hand the grads over
+        # instead of writing them
+        hold = (ci == nch - 1) & (e % CHUNK != 0) & (e < total)
+
+        @pl.when(hold)
+        def _():
+            carry_scr[...] = grads
+            cur[_PEND] = 1
+
+        @pl.when(jnp.logical_not(hold))
+        def _():
+            w = cur[_WCNT]
+            slot = w % 2
+
+            @pl.when(w >= 2)
+            def _():
+                wr_wait(slot)
+
+            grad_scr[slot] = grads
+            pltpu.make_async_copy(
+                grad_scr.at[slot],
+                dinst_ref.at[:, pl.ds(pl.multiple_of(g * CHUNK, CHUNK), CHUNK)],
+                out_sems.at[slot],
+            ).start()
+            cur[_WCH0 + slot] = g
+            cur[_WCNT] = w + 1
+
+        @pl.when(take_carry & jnp.logical_not(hold))
+        def _():
+            cur[_PEND] = 0
+
+    return emit, wr_wait
+
+
 def _bwd_kernel(
     grid_x, tile, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
     scr, grad_scr, carry_scr, sems, out_sems, cur,
@@ -392,54 +446,9 @@ def _bwd_kernel(
         cur[_PEND] = 0
         cur[_WCNT] = 0
 
-    def wr_wait(slot):
-        g_prev = cur[_WCH0 + slot]
-        pltpu.make_async_copy(
-            grad_scr.at[slot],
-            dinst_ref.at[:, pl.ds(pl.multiple_of(g_prev * CHUNK, CHUNK), CHUNK)],
-            out_sems.at[slot],
-        ).wait()
-
-    def emit(ci, g, grads):
-        """Carry/hold/write protocol for chunk g's gradient block (shared by
-        the live loop and the saturated drain loop)."""
-        # a boundary chunk shared with the PREVIOUS tile arrives as a VMEM
-        # carry, not an HBM read-modify-write (which would stall every tile
-        # on a full HBM round trip). NaN-safe: where() selects, never reads
-        # through, on the untaken branch (carry_scr starts uninitialized).
-        take_carry = (ci == 0) & (cur[_PEND] == 1)
-        grads = grads + jnp.where(take_carry, carry_scr[...], 0.0)
-        # if OUR range ends mid-chunk and later instances exist, the NEXT
-        # non-empty tile also contributes to this chunk: hand the grads over
-        # instead of writing them
-        hold = (ci == nch - 1) & (e % CHUNK != 0) & (e < total)
-
-        @pl.when(hold)
-        def _():
-            carry_scr[...] = grads
-            cur[_PEND] = 1
-
-        @pl.when(jnp.logical_not(hold))
-        def _():
-            w = cur[_WCNT]
-            slot = w % 2
-
-            @pl.when(w >= 2)
-            def _():
-                wr_wait(slot)
-
-            grad_scr[slot] = grads
-            pltpu.make_async_copy(
-                grad_scr.at[slot],
-                dinst_ref.at[:, pl.ds(pl.multiple_of(g * CHUNK, CHUNK), CHUNK)],
-                out_sems.at[slot],
-            ).start()
-            cur[_WCH0 + slot] = g
-            cur[_WCNT] = w + 1
-
-        @pl.when(take_carry & jnp.logical_not(hold))
-        def _():
-            cur[_PEND] = 0
+    emit, wr_wait = _make_emit(
+        nch, e, total, dinst_ref, grad_scr, carry_scr, out_sems, cur
+    )
 
     # Tile-level early stop, mirroring the forward: the live while-loop walks
     # chunks until every pixel saturates (t_raw < T_EPS — past that point
@@ -595,6 +604,310 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, t
 
 
 # ----------------------------------------------------------------------------
+# order-independent transmittance (OIT) kernels — opt-in fast mode
+# ----------------------------------------------------------------------------
+# Weighted-blended OIT adapted to 3DGS (PERF_HEADROOM #4, PAPERS.md): the
+# per-pixel front-to-back recurrence is replaced by commutative sums
+#   N = sum alpha*invz^2*[r,g,b,invz],  D = sum alpha*invz^2,
+#   T = prod (1-alpha)  (accumulated as sum log1p(-alpha))
+# so the kernels need NO cumprod/cumsum, no depth-ordering of the instance
+# stream, and the backward is per-instance local given (N, D, T) — the
+# custom VJP wraps only these raw sums; the quotient/compositing
+# (N / max(D,eps) * (1 - T)) runs in plain jnp outside and is autodiffed.
+# alpha/keep rules are IDENTICAL to the sorted path. Not reference parity:
+# ships as `RenderSettings.blend_mode="oit"`, quality-validated separately.
+
+
+def _oit_alpha(blk, px, py, lo, hi):
+    """alpha/keep math shared with the sorted path's _chunk_blend (folded
+    conic packets, unsigned lane-validity compare). Returns the gated alpha
+    plus the per-instance rows the backward recombination needs."""
+    blk = blk.astype(jnp.float32)
+    mx = blk[_ROW_MX : _ROW_MX + 1, :]
+    my = blk[_ROW_MY : _ROW_MY + 1, :]
+    ca = blk[_ROW_CA : _ROW_CA + 1, :]
+    cb = blk[_ROW_CB : _ROW_CB + 1, :]
+    cc = blk[_ROW_CC : _ROW_CC + 1, :]
+    op = blk[_ROW_OP : _ROW_OP + 1, :]
+    dx = mx - px
+    dy = my - py
+    power = (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
+    valid = (lane - lo).astype(jnp.uint32) < (hi - lo).astype(jnp.uint32)
+    g = jnp.exp(power)
+    alpha = jnp.minimum(op * g, ALPHA_MAX)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
+    alpha = jnp.where(keep, alpha, 0.0)
+    return dict(alpha=alpha, keep=keep, g=g, op=op, ca=ca, cb=cb, cc=cc,
+                mx=mx, my=my)
+
+
+def _oit_fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref,
+                    scr, sems, cur):
+    t = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
+    s = start_ref[t]
+    e = end_ref[t]
+    base = s // CHUNK
+    nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
+    nctotal = pl.cdiv(end_ref[num_tiles - 1], CHUNK)
+    px, py = _pixel_coords(t, grid_x, tile)
+
+    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init(t)
+
+    ones_row = jnp.ones((1, CHUNK), jnp.float32)
+
+    # no early stop: every instance contributes to the commutative sums
+    def body(ci, st):
+        acc, logt = st  # (256,5), (256,1)
+        g = base + ci
+        blk = fetch(g).astype(jnp.float32)
+        woff = g * CHUNK
+        q = _oit_alpha(blk, px, py, s - woff, e - woff)
+        z = blk[_ROW_FEAT + 3 : _ROW_FEAT + 4, :]  # (1,128) invz
+        aw = q["alpha"] * (z * z)
+        feat5 = jnp.concatenate(
+            [blk[_ROW_FEAT : _ROW_FEAT + 4, :], ones_row], axis=0
+        )  # (5,128): r, g, b, invz, 1 (the ones row accumulates D)
+        acc = acc + jax.lax.dot_general(
+            aw, feat5, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (256,5)
+        logt = logt + jnp.sum(jnp.log1p(-q["alpha"]), axis=1, keepdims=True)
+        return acc, logt
+
+    acc, logt = jax.lax.fori_loop(
+        0, nch, body,
+        (jnp.zeros((PPT, 5), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
+    )
+    out_ref[0, :, 0:5] = acc  # N (4) + D (1)
+    out_ref[0, :, 5:6] = jnp.exp(logt)  # T
+    out_ref[0, :, 6:8] = jnp.zeros((PPT, 2), jnp.float32)
+
+
+def _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
+    num_tiles = grid_x * grid_y
+    kernel = functools.partial(_oit_fwd_kernel, grid_x, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PPT, 8), jnp.float32),
+        interpret=_interpret(),
+    )(tile_start, tile_end, inst_t)
+
+
+def _oit_bwd_kernel(
+    grid_x, tile, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
+    scr, grad_scr, carry_scr, sems, out_sems, cur,
+):
+    t = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
+    s = start_ref[t]
+    e = end_ref[t]
+    base = s // CHUNK
+    nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
+    total = end_ref[num_tiles - 1]
+    nctotal = pl.cdiv(total, CHUNK)
+    px, py = _pixel_coords(t, grid_x, tile)
+
+    ox = ((t % grid_x) * tile).astype(jnp.float32)
+    oy = ((t // grid_x) * tile).astype(jnp.float32)
+    pxl = px - ox
+    pyl = py - oy
+    ones_col = jnp.ones((PPT, 1), jnp.float32)
+    pix_basis = jnp.concatenate(
+        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
+    )  # (256, 6)
+
+    dN = dout_ref[0, :, 0:4]  # (256,4) cotangents of the raw sums N
+    dD = dout_ref[0, :, 4:5]  # (256,1)
+    dT = dout_ref[0, :, 5:6]  # (256,1)
+    t_fin = fwd_ref[0, :, 5:6]
+    rT = dT * t_fin  # cotangent of logT = sum log1p(-alpha)
+    basis_dN = jnp.concatenate([pix_basis, dN], axis=1)  # (256,10)
+
+    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init(t)
+
+    @pl.when(t == 0)
+    def _():
+        cur[_PEND] = 0
+        cur[_WCNT] = 0
+
+    emit, wr_wait = _make_emit(
+        nch, e, total, dinst_ref, grad_scr, carry_scr, out_sems, cur
+    )
+
+    def body(ci, _):
+        g = base + ci
+        blk = fetch(g).astype(jnp.float32)
+        woff = g * CHUNK
+        q = _oit_alpha(blk, px, py, s - woff, e - woff)
+        feat = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
+        z = feat[3:4, :]
+        z2 = z * z  # (1,128)
+        alpha = q["alpha"]
+
+        # d(aw)_pi: through N (feature-weighted) and D
+        K = (
+            dN[:, 0:1] * feat[0:1, :]
+            + dN[:, 1:2] * feat[1:2, :]
+            + dN[:, 2:3] * feat[2:3, :]
+            + dN[:, 3:4] * feat[3:4, :]
+            + dD
+        )  # (256,128)
+        inv_one_m = 1.0 / (1.0 - alpha)
+        dalpha = jnp.where(q["keep"], z2 * K - rT * inv_one_m, 0.0)
+
+        dG = q["op"] * dalpha
+        dgm = dG * q["g"]
+        aK = alpha * K
+        # one merged 256-deep matmul: moments of dgm against the pixel
+        # basis, dN^T @ alpha (feature grads + V), and basis-row-0 of
+        # alpha*K (the W sum for the invz chain through the depth weight)
+        out10 = jax.lax.dot_general(
+            basis_dN,
+            jnp.concatenate([dgm, alpha, aK], axis=1),  # (256, 384)
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (10, 384)
+        mom = out10[0:6, 0:CHUNK]
+        RA = out10[6:10, CHUNK : 2 * CHUNK]  # dN_ch^T @ alpha
+        W = out10[0:1, 2 * CHUNK : 3 * CHUNK]  # sum_p alpha*K
+
+        m0 = mom[0:1, :]
+        mxl = q["mx"] - ox
+        myl = q["my"] - oy
+        s1x = mxl * m0 - mom[1:2, :]
+        s1y = myl * m0 - mom[2:3, :]
+        s2xx = mxl * mxl * m0 - 2.0 * mxl * mom[1:2, :] + mom[3:4, :]
+        s2xy = mxl * myl * m0 - mxl * mom[2:3, :] - myl * mom[1:2, :] + mom[4:5, :]
+        s2yy = myl * myl * m0 - 2.0 * myl * mom[2:3, :] + mom[5:6, :]
+        d_op = m0 / jnp.maximum(q["op"], 1e-30)
+
+        # invz chain: N/D see invz through the weight aw = alpha*invz^2
+        # (W term) and through the 4th feature (V = RA row 3)
+        d_rgb = z2 * RA[0:3, :]
+        d_z = (z + z) * W + z2 * RA[3:4, :]
+
+        grad_rows = jnp.concatenate(
+            [
+                (q["ca"] + q["ca"]) * s1x + q["cb"] * s1y,  # d mean2d_x
+                (q["cc"] + q["cc"]) * s1y + q["cb"] * s1x,  # d mean2d_y
+                -0.5 * s2xx,
+                -s2xy,
+                -0.5 * s2yy,
+                d_op,
+                d_rgb,
+                d_z,
+            ],
+            axis=0,
+        )  # (10,128)
+        pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
+        emit(ci, g, jnp.concatenate([grad_rows, pad], axis=0))
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        w = cur[_WCNT]
+
+        @pl.when(w >= 2)
+        def _():
+            wr_wait(w % 2)
+
+        @pl.when(w >= 1)
+        def _():
+            wr_wait((w + 1) % 2)
+
+
+def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
+                      grid_x, grid_y, tile):
+    num_tiles = grid_x * grid_y
+    k_pad = inst_t.shape[1]
+    kernel = functools.partial(_oit_bwd_kernel, grid_x, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((N_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((6,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N_ROWS, k_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(tile_start, tile_end, inst_t, fwd_out, dout)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_oit_vjp(grid_x: int, grid_y: int, tile: int):
+    @jax.custom_vjp
+    def blend(mean2d, conic, opacity, rgb, invz,
+              inst_t, tile_start, tile_end, gauss_id, slot_valid):
+        return _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
+
+    def blend_fwd(mean2d, conic, opacity, rgb, invz,
+                  inst_t, tile_start, tile_end, gauss_id, slot_valid):
+        out = _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
+        n_gauss = mean2d.shape[0]
+        return out, (out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss)
+
+    def blend_bwd(res, dout):
+        fwd_out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss = res
+        dinst = _run_oit_backward(
+            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
+        )
+        dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
+        from gsplat_tpu.ops.reduce import reduce_by_gid
+
+        drows = reduce_by_gid(dinst, gauss_id, n_gauss)
+        d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
+        d_conic = drows[_ROW_CA : _ROW_CC + 1].T
+        d_op = drows[_ROW_OP]
+        d_rgb = drows[_ROW_FEAT : _ROW_FEAT + 3].T
+        d_invz = drows[_ROW_FEAT + 3]
+        return (
+            d_mean2d, d_conic, d_op, d_rgb, d_invz,
+            jnp.zeros_like(inst_t), _float0(tile_start), _float0(tile_end),
+            _float0(gauss_id), _float0(slot_valid),
+        )
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+# ----------------------------------------------------------------------------
 # differentiable wrapper
 # ----------------------------------------------------------------------------
 
@@ -661,6 +974,7 @@ def blend_tiles_pallas(
     tile: int,
     packet_dtype=jnp.float32,
     track_contrib: bool = False,
+    blend_mode: str = "sorted",
 ) -> BlendOutput:
     """Blend the sorted instance stream with the Pallas kernels.
 
@@ -700,6 +1014,26 @@ def blend_tiles_pallas(
     # arrays get float0 cotangents): closing over them instead would leak
     # tracers when the VJP is pulled through an outer transform's transpose
     # (shard_map autodiff re-traces the backward in a different trace).
+    if blend_mode == "oit":
+        # the custom VJP wraps only the RAW commutative sums (N, D, T); the
+        # quotient/compositing below is plain jnp, autodiffed for free
+        blend = _make_oit_vjp(grid_x, grid_y, tile)
+        out = blend(
+            screen.mean2d, screen.conic, screen.opacity, screen.rgb,
+            inv_depth_all, inst_t, tile_start, tile_end, gauss_id, slot_valid,
+        )
+        numer = out[:, :, 0:4]
+        denom = out[:, :, 4]
+        t_fin = out[:, :, 5]
+        w = (1.0 - t_fin) / jnp.maximum(denom, 1e-8)
+        return BlendOutput(
+            color=numer[:, :, 0:3] * w[:, :, None],
+            invdepth=numer[:, :, 3] * w,
+            final_t=t_fin,
+            n_contrib=jnp.zeros(t_fin.shape, jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+        )
+
     blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib)
     out = blend(
         screen.mean2d, screen.conic, screen.opacity, screen.rgb, inv_depth_all,

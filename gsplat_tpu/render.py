@@ -89,15 +89,25 @@ def render(
         out = blend_tiles_pallas(
             screen, bins, gx, gy, settings.tile,
             track_contrib=settings.track_contrib,
+            blend_mode=settings.blend_mode,
         )
     else:
         bins = bin_gaussians(
             screen, gx, gy, settings.instance_capacity, settings.tile,
             settings.tight_cull,
         )
-        out = blend_tiles_jnp(
-            screen, bins, gx, gy, settings.tile, settings.max_per_tile, settings.chunk
-        )
+        if settings.blend_mode == "oit":
+            from gsplat_tpu.ops.rasterize_jnp import blend_tiles_oit_jnp
+
+            out = blend_tiles_oit_jnp(
+                screen, bins, gx, gy, settings.tile, settings.max_per_tile,
+                settings.chunk,
+            )
+        else:
+            out = blend_tiles_jnp(
+                screen, bins, gx, gy, settings.tile, settings.max_per_tile,
+                settings.chunk,
+            )
 
     bg = jnp.asarray(bg, jnp.float32)
     color = out.color + out.final_t[..., None] * bg[None, None, :]

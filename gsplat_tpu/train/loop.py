@@ -288,6 +288,7 @@ def train(
             max_per_tile=pipe.max_per_tile,
             antialiasing=pipe.antialiasing,
             backend=pipe.backend,
+            blend_mode=getattr(pipe, "blend_mode", "sorted"),
         )
 
     mesh = None

@@ -116,6 +116,7 @@ def main(argv=None):
         max_per_tile=pipe_cfg.max_per_tile,
         antialiasing=pipe_cfg.antialiasing,
         backend=pipe_cfg.backend,
+        blend_mode=getattr(pipe_cfg, "blend_mode", "sorted"),
     )
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
 

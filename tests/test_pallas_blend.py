@@ -315,3 +315,107 @@ def test_backward_large_splats_far_centers():
         scale = float(jnp.abs(a).max()) + 1e-8
         rel = float(jnp.abs(a - b).max()) / scale
         assert rel < 2e-4, f"{name}: rel diff {rel}"
+
+
+def test_oit_forward_matches_jnp():
+    """OIT pallas kernels vs the jnp OIT oracle (commutative sums)."""
+    from gsplat_tpu.ops.rasterize_jnp import blend_tiles_oit_jnp
+
+    screen, bins, gx, gy = build()
+    oj_bins = bin_gaussians(screen, gx, gy, bins.gauss_id.shape[0])
+    oj = blend_tiles_oit_jnp(screen, oj_bins, gx, gy, 16, 1024, 128)
+    op = rp.blend_tiles_pallas(screen, bins, gx, gy, 16, blend_mode="oit")
+    np.testing.assert_allclose(np.asarray(op.color), np.asarray(oj.color), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(op.invdepth), np.asarray(oj.invdepth), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.final_t), np.asarray(oj.final_t), atol=3e-5
+    )
+    # total transmittance is exact (order-free product over ALL kept alphas)
+    assert np.isfinite(np.asarray(op.color)).all()
+
+
+def test_oit_backward_matches_jnp_autodiff():
+    """OIT gradients: manual per-instance-local VJP (incl. the invz chain
+    through the depth weight alpha*invz^2) vs jnp autodiff of the oracle."""
+    from gsplat_tpu.ops.rasterize_jnp import blend_tiles_oit_jnp
+
+    screen, bins, gx, gy = build()
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.random((gx * gy, 256, 3)), jnp.float32)
+    wd = jnp.asarray(rng.random((gx * gy, 256)), jnp.float32)
+
+    def loss(fn):
+        def f(mean2d, conic, opacity, rgb, depth):
+            s2 = screen.replace(
+                mean2d=mean2d, conic=conic, opacity=opacity, rgb=rgb, depth=depth
+            )
+            out = fn(s2)
+            return (
+                jnp.sum((out.color - tgt) ** 2)
+                + jnp.sum(out.invdepth * wd)
+                + jnp.sum(out.final_t * 0.3)
+            )
+
+        return f
+
+    args = (screen.mean2d, screen.conic, screen.opacity, screen.rgb, screen.depth)
+    gj = jax.grad(
+        loss(lambda s: blend_tiles_oit_jnp(
+            s, bin_gaussians(s, gx, gy, bins.gauss_id.shape[0]), gx, gy, 16, 1024, 128
+        )),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    gp = jax.grad(
+        loss(lambda s: rp.blend_tiles_pallas(s, bins, gx, gy, 16, blend_mode="oit")),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    for name, a, b in zip(["mean2d", "conic", "opacity", "rgb", "depth"], gj, gp):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        rel = float(jnp.abs(a - b).max()) / scale
+        assert rel < 5e-5, f"{name}: rel diff {rel}"
+
+
+def test_oit_empty_and_nonoverlapping_match_sorted():
+    """Where splats don't overlap per pixel, OIT == sorted blending (the
+    occlusion order is irrelevant); empty tiles stay pure background."""
+    screen, bins, gx, gy = build(n=24, width=96, height=80, seed=12)
+    # shrink everything to tiny non-overlapping splats: keep only gaussians
+    # whose pixel rects don't intersect, by spreading means on a grid
+    n = screen.mean2d.shape[0]
+    gxs = (np.arange(n) % 6) * 16.0 + 8.0
+    gys = (np.arange(n) // 6) * 16.0 + 8.0
+    screen = screen.replace(
+        mean2d=jnp.asarray(np.stack([gxs, gys], -1), jnp.float32),
+        conic=jnp.broadcast_to(jnp.asarray([2.0, 0.0, 2.0]), (n, 3)),
+    )
+    from gsplat_tpu.ops.projection import preprocess  # noqa: F401 (rect rebuild)
+
+    # rebuild rects for the moved splats via re-binning on a fresh pack
+    from gsplat_tpu.ops.binning import pack_bins as pb
+
+    r = 8
+    rect_min = jnp.stack(
+        [(screen.mean2d[:, 0] - r) // 16, (screen.mean2d[:, 1] - r) // 16], -1
+    ).astype(jnp.int32)
+    rect_max = jnp.stack(
+        [(screen.mean2d[:, 0] + r) // 16 + 1, (screen.mean2d[:, 1] + r) // 16 + 1], -1
+    ).astype(jnp.int32)
+    rect_min = jnp.clip(rect_min, 0, jnp.asarray([gx, gy]) - 1)
+    rect_max = jnp.clip(rect_max, 1, jnp.asarray([gx, gy]))
+    tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    screen = screen.replace(
+        rect_min=rect_min, rect_max=rect_max,
+        tiles_touched=tiles, mask=jnp.ones((n,), bool),
+        cull_r2=jnp.full((n,), 1e9, jnp.float32),
+    )
+    bins2 = pb(screen, gx, gy, 1 << 12)
+    sorted_out = rp.blend_tiles_pallas(screen, bins2, gx, gy, 16)
+    oit_out = rp.blend_tiles_pallas(screen, bins2, gx, gy, 16, blend_mode="oit")
+    np.testing.assert_allclose(
+        np.asarray(oit_out.color), np.asarray(sorted_out.color), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(oit_out.final_t), np.asarray(sorted_out.final_t), atol=5e-5
+    )
