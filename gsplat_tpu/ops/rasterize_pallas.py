@@ -186,22 +186,29 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
 # ----------------------------------------------------------------------------
 
 
+# streaming depth: chunks of read lookahead / outstanding gradient writes.
+# One chunk's blend compute (~0.5-1.5us) is comparable to one DMA's latency
+# (~1us), so a depth-2 pipeline stalls on the DMA tail; depth 4 hides it.
+_NBUF = 4
+_WBUF = 4
+
+
 def _read_protocol(inst_ref, scr, sems, cur, nctotal):
     """Cross-invocation streaming reads of the instance buffer.
 
     Tile ranges are contiguous, so the union of all tiles' window chunks is
     simply chunks [0, nctotal) of `inst_ref`, consumed in order. Two SMEM
     cursors persist across grid steps: cur[0] = first chunk not yet waited
-    (chunks below it are resident in their g%2 slot or already consumed),
-    cur[1] = first chunk not yet issued. Keeping the stream global removes
-    the cold-DMA bubble every tile otherwise pays on its first chunk
-    (~1us x num_tiles), and a boundary chunk shared by two tiles is fetched
-    ONCE and re-read from VMEM by the second tile."""
+    (chunks below it are resident in their g%_NBUF slot or already
+    consumed), cur[1] = first chunk not yet issued. Keeping the stream
+    global removes the cold-DMA bubble every tile otherwise pays on its
+    first chunk (~1us x num_tiles), and a boundary chunk shared by two
+    tiles is fetched ONCE and re-read from VMEM by the second tile."""
 
     def issue(g):
         off = pl.multiple_of(g * CHUNK, CHUNK)
         pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[g % 2], sems.at[g % 2]
+            inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[g % _NBUF], sems.at[g % _NBUF]
         ).start()
 
     def init(t):
@@ -215,23 +222,33 @@ def _read_protocol(inst_ref, scr, sems, cur, nctotal):
             cur[1] = jnp.minimum(nctotal, 1)
 
     def fetch(g):
-        """Ensure chunk g is resident; keep one chunk ahead in flight.
-        Returns the VMEM slot holding chunk g."""
+        """Ensure chunk g is resident; keep up to _NBUF-1 chunks in flight
+        ahead of it (slot g+_NBUF-1 reuses slot g's buffer only after g+...
+        has been consumed — sequential consumption guarantees it). Returns
+        the VMEM slot holding chunk g."""
 
-        @pl.when((g + 1 < nctotal) & (cur[1] <= g + 1))
-        def _():
-            issue(g + 1)
-            cur[1] = g + 2
+        def issue_body(nxt):
+            issue(nxt)
+            cur[1] = nxt + 1
+            return nxt + 1
+
+        jax.lax.while_loop(
+            lambda nxt: (nxt < nctotal) & (nxt <= g + _NBUF - 1),
+            issue_body,
+            cur[1],
+        )
 
         @pl.when(cur[0] <= g)
         def _():
             off = pl.multiple_of(g * CHUNK, CHUNK)
             pltpu.make_async_copy(
-                inst_ref.at[:, pl.ds(off, CHUNK)], scr.at[g % 2], sems.at[g % 2]
+                inst_ref.at[:, pl.ds(off, CHUNK)],
+                scr.at[g % _NBUF],
+                sems.at[g % _NBUF],
             ).wait()
             cur[0] = g + 1
 
-        return scr[g % 2]
+        return scr[g % _NBUF]
 
     return init, fetch
 
@@ -325,8 +342,8 @@ def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile,
             (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NBUF, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
@@ -382,9 +399,9 @@ def _make_emit(nch, e, total, dinst_ref, grad_scr, carry_scr, out_sems, cur):
         @pl.when(jnp.logical_not(hold))
         def _():
             w = cur[_WCNT]
-            slot = w % 2
+            slot = w % _WBUF
 
-            @pl.when(w >= 2)
+            @pl.when(w >= _WBUF)
             def _():
                 wr_wait(slot)
 
@@ -558,18 +575,14 @@ def _bwd_kernel(
 
     # every chunk is written exactly once, by its last contributing tile; a
     # pending carry always has a later consumer (e < total). Only the final
-    # invocation must drain the (up to two) writes still in flight.
+    # invocation must drain the (up to _WBUF) writes still in flight.
     @pl.when(t == num_tiles - 1)
     def _():
         w = cur[_WCNT]
-
-        @pl.when(w >= 2)
-        def _():
-            wr_wait(w % 2)  # slot of write w-2
-
-        @pl.when(w >= 1)
-        def _():
-            wr_wait((w + 1) % 2)  # slot of write w-1
+        for j in range(1, _WBUF + 1):
+            @pl.when(w >= j)
+            def _(j=j):
+                wr_wait((w - j) % _WBUF)
 
 
 def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile):
@@ -586,12 +599,12 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, t
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # dinst (16, K)
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
-            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),  # grads stay f32
+            pltpu.VMEM((_NBUF, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.VMEM((_WBUF, N_ROWS, CHUNK), jnp.float32),  # grads stay f32
             pltpu.VMEM((N_ROWS, CHUNK), jnp.float32),  # boundary-chunk carry
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((6,), jnp.int32),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.SemaphoreType.DMA((_WBUF,)),
+            pltpu.SMEM((4 + _WBUF,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -698,8 +711,8 @@ def _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
             (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NBUF, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
@@ -828,14 +841,10 @@ def _oit_bwd_kernel(
     @pl.when(t == num_tiles - 1)
     def _():
         w = cur[_WCNT]
-
-        @pl.when(w >= 2)
-        def _():
-            wr_wait(w % 2)
-
-        @pl.when(w >= 1)
-        def _():
-            wr_wait((w + 1) % 2)
+        for j in range(1, _WBUF + 1):
+            @pl.when(w >= j)
+            def _(j=j):
+                wr_wait((w - j) % _WBUF)
 
 
 def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
@@ -853,12 +862,12 @@ def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), inst_t.dtype),
-            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((_NBUF, N_ROWS, CHUNK), inst_t.dtype),
+            pltpu.VMEM((_WBUF, N_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((N_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((6,), jnp.int32),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.SemaphoreType.DMA((_WBUF,)),
+            pltpu.SMEM((4 + _WBUF,), jnp.int32),
         ],
     )
     return pl.pallas_call(
