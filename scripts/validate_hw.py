@@ -93,6 +93,40 @@ def main():
         if not ok:
             failures.append(f"grad:{name}")
 
+    # OIT mode on hardware: pallas OIT (raw-sum custom VJP incl. the
+    # gradient reduction) vs the jnp OIT oracle's autodiff
+    def run_oit(backend):
+        settings = make_render_settings(
+            backend=backend, blend_mode="oit", **base
+        )
+
+        def loss(p):
+            out = render(camera, p, alive, settings, jnp.zeros(3))
+            return (
+                (out["render"] ** 2).sum() + 0.3 * (out["invdepth"] ** 2).sum(),
+                out,
+            )
+
+        (l, out), grads = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+        jax.block_until_ready(grads)
+        return out, grads
+
+    oit_j, og_j = run_oit("jnp")
+    oit_p, og_p = run_oit("pallas")
+    d = np.abs(np.asarray(oit_j["render"]) - np.asarray(oit_p["render"]))
+    ok = d.max() < OUT_MAX_TOL and d.mean() < OUT_MEAN_TOL
+    print(("PASS " if ok else "FAIL ") + f"oit render: max {d.max():.3e} mean {d.mean():.3e}")
+    if not ok:
+        failures.append("oit:render")
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        a = np.asarray(getattr(og_j, name))
+        b = np.asarray(getattr(og_p, name))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        ok = rel < GRAD_REL_TOL
+        print(("PASS " if ok else "FAIL ") + f"oit grad {name:10s} max rel {rel:.3e}")
+        if not ok:
+            failures.append(f"oit:{name}")
+
     # bf16 packet mode: within the reference's own bf16 kernel tolerances
     # (`GS-IRON/npu-1/NPU/test.cpp:88,233-238`: abs 0.05-0.5)
     settings_bf = make_render_settings(
