@@ -91,9 +91,11 @@ def main(argv=None):
         for src, images, name in scenes:
             img_flag = f" -i {images}" if images else ""
             white = " -w" if args.synthetic and src.startswith(args.synthetic) else ""
+            # 900s stall window: a mid-run capacity-growth recompile through
+            # the remote-compile relay can legitimately stay silent >600s
             rc = os.system(
-                f"{sys.executable} scripts/train_supervised.py -- -s {src}{img_flag}{white} "
-                f"-m {args.output_path}/{name}{common}"
+                f"{sys.executable} scripts/train_supervised.py --stall_timeout 900 "
+                f"-- -s {src}{img_flag}{white} -m {args.output_path}/{name}{common}"
             )
             if rc != 0:
                 print(f"training failed for {name} (rc={rc})", file=sys.stderr)
