@@ -113,6 +113,8 @@ class Camera:
         "backend",
         "packet_dtype",
         "tight_cull",
+        "track_contrib",
+        "blend_mode",
     )
 )
 class RenderSettings:
