@@ -111,14 +111,30 @@ def _cumprod_lanes(x):
     return v
 
 
-def _pixel_coords(tile_idx, grid_x, tile):
-    """(256,1) pixel-center x/y for this tile."""
-    lin = jax.lax.broadcasted_iota(jnp.int32, (PPT, 1), 0)
-    tx = (tile_idx % grid_x) * tile
-    ty = (tile_idx // grid_x) * tile
-    px = (tx + lin % tile).astype(jnp.float32)
-    py = (ty + lin // tile).astype(jnp.float32)
+def _pixel_coords(first_tile, grid_x, tile, rows=PPT):
+    """(rows,1) pixel-center x/y for rows//PPT consecutive row-major tiles.
+
+    With rows == PPT this is one tile's 256 pixels; with rows == pair*PPT the
+    paired kernels stack `pair` adjacent tiles' pixels on the sublane axis
+    (tile i occupies rows [i*PPT, (i+1)*PPT))."""
+    lin = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    tix = first_tile + lin // PPT
+    loc = lin % PPT
+    px = ((tix % grid_x) * tile + loc % tile).astype(jnp.float32)
+    py = ((tix // grid_x) * tile + loc // tile).astype(jnp.float32)
     return px, py
+
+
+def _range_cols(start_ref, end_ref, first, pair, rows):
+    """(rows,1) per-row [start, end) of the tile owning each pixel row."""
+    lin = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    half = lin // PPT
+    s_col = jnp.zeros((rows, 1), jnp.int32)
+    e_col = jnp.zeros((rows, 1), jnp.int32)
+    for i in range(pair):
+        s_col = jnp.where(half == i, start_ref[first + i], s_col)
+        e_col = jnp.where(half == i, end_ref[first + i], e_col)
+    return s_col, e_col
 
 
 def _chunk_blend(blk, px, py, t_raw, lo, hi):
@@ -141,13 +157,14 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
     cc = blk[_ROW_CC : _ROW_CC + 1, :]  # folded: -conic_c/2
     op = blk[_ROW_OP : _ROW_OP + 1, :]
 
-    dx = mx - px  # (256,128)
+    dx = mx - px  # (rows,128)
     dy = my - py
     power = (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
-    # one unsigned compare replaces (lane >= lo) & (lane < hi): lanes below
-    # lo wrap to huge uint32 values (lo <= lane always has hi > lo here —
-    # chunks are only walked inside a non-empty [s, e) range)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (px.shape[0], CHUNK), 1)
+    # one unsigned compare replaces (lane >= lo) & (lane < hi); lo/hi may be
+    # scalars or (rows,1) columns (paired kernels: per-row tile ranges). A
+    # chunk wholly outside one row's range yields no valid lanes (lane - lo
+    # wraps for lo > lane; lane - lo >= hi - lo for lo <= lane beyond hi)
     valid = (lane - lo).astype(jnp.uint32) < (hi - lo).astype(jnp.uint32)
     g = jnp.exp(power)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
@@ -253,21 +270,33 @@ def _read_protocol(inst_ref, scr, sems, cur, nctotal):
     return init, fetch
 
 
-def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_ref,
-                scr, sems, cur):
+def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
+                out_ref, scr, sems, cur):
     # instance packets may be bf16 (half the DMA traffic, the GS-IRON bf16
     # ladder analogue); all blend math runs f32
-    t = pl.program_id(0)
-    num_tiles = pl.num_programs(0)
-    s = start_ref[t]
-    e = end_ref[t]
+    #
+    # With pair > 1 each grid step blends `pair` ADJACENT row-major tiles on
+    # pair*256 sublanes: tile ranges are contiguous (binning builds them from
+    # one searchsorted over boundary queries), so the pair's union range
+    # [start[first], end[first+pair-1]) is one contiguous window of the same
+    # global chunk stream, each chunk blended against all pair*256 pixels
+    # with per-row [s, e) lane masks. Halves the chunk-loop trip count and
+    # per-op issue overhead; the cost is pair-level (not tile-level) early
+    # stop granularity.
+    p = pl.program_id(0)
+    num_pairs = pl.num_programs(0)
+    first = p * pair
+    rows = pair * PPT
+    s = start_ref[first]
+    e = end_ref[first + pair - 1]
     base = s // CHUNK  # first 128-aligned window chunk covering [s, e)
     nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
-    nctotal = pl.cdiv(end_ref[num_tiles - 1], CHUNK)
-    px, py = _pixel_coords(t, grid_x, tile)
+    nctotal = pl.cdiv(end_ref[num_pairs * pair - 1], CHUNK)
+    px, py = _pixel_coords(first, grid_x, tile, rows)
+    s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
 
     init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
-    init(t)
+    init(p)
 
     # Tile-level early stop (the vector analogue of the CUDA per-pixel `done`
     # break, forward.cu:345-385): the live while-loop blends chunks until
@@ -284,7 +313,7 @@ def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_r
         g = base + ci
         blk = fetch(g).astype(jnp.float32)  # (16, 128)
         woff = g * CHUNK
-        q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
+        q = _chunk_blend(blk, px, py, t_raw, s_col - woff, e_col - woff)
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
         # HIGHEST precision: the MXU's default single-pass bf16 matmul costs
         # ~4e-3 relative error in the accumulated color on hardware (the CPU
@@ -293,12 +322,12 @@ def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_r
             q["w"], feat_t, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (256, 4)
+        )  # (rows, 4)
         if track_contrib:
             # last_contributor (forward.cu:347-384): 1-based index within the
             # tile's range of the last instance actually blended at this pixel
-            lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
-            pos = (lane + (woff - s + 1)).astype(jnp.float32)  # ints < 2^24
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK), 1)
+            pos = (lane + (woff + 1) - s_col).astype(jnp.float32)  # ints < 2^24
             ncon = jnp.maximum(
                 ncon,
                 jnp.max(
@@ -307,15 +336,17 @@ def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_r
             )
         return ci + 1, q["t_raw_next"], t_eff * q["eff_prod"], accum, ncon
 
+    # rows of an empty tile in the pair start saturated (t_raw = 0) so they
+    # never hold the pair's early stop open; their outputs don't read t_raw
     ci, t_raw, t_eff, accum, ncon = jax.lax.while_loop(
         live_cond,
         live_body,
         (
             jnp.int32(0),
-            jnp.ones((PPT, 1), jnp.float32),
-            jnp.ones((PPT, 1), jnp.float32),
-            jnp.zeros((PPT, 4), jnp.float32),
-            jnp.zeros((PPT, 1), jnp.float32),
+            (e_col > s_col).astype(jnp.float32),
+            jnp.ones((rows, 1), jnp.float32),
+            jnp.zeros((rows, 4), jnp.float32),
+            jnp.zeros((rows, 1), jnp.float32),
         ),
     )
 
@@ -327,19 +358,32 @@ def _fwd_kernel(grid_x, tile, track_contrib, start_ref, end_ref, inst_ref, out_r
     out_ref[0, :, 0:4] = accum
     out_ref[0, :, 4:5] = t_eff
     out_ref[0, :, 5:6] = ncon
-    out_ref[0, :, 6:8] = jnp.zeros((PPT, 2), jnp.float32)
+    out_ref[0, :, 6:8] = jnp.zeros((rows, 2), jnp.float32)
+
+
+def _pad_ranges(tile_start, tile_end, num_tiles, pair):
+    """Pad the per-tile range arrays to a multiple of `pair` with empty
+    tail tiles [total, total) so every pair's union stays contiguous."""
+    num_pad = _round_up(num_tiles, pair)
+    if num_pad != num_tiles:
+        total = tile_end[num_tiles - 1]
+        ext = jnp.broadcast_to(total, (num_pad - num_tiles,))
+        tile_start = jnp.concatenate([tile_start[:num_tiles], ext])
+        tile_end = jnp.concatenate([tile_end[:num_tiles], ext])
+    return tile_start, tile_end, num_pad
 
 
 def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile,
-                 track_contrib=False):
+                 track_contrib=False, pair=1):
     num_tiles = grid_x * grid_y
-    kernel = functools.partial(_fwd_kernel, grid_x, tile, track_contrib)
+    tile_start, tile_end, num_pad = _pad_ranges(tile_start, tile_end, num_tiles, pair)
+    kernel = functools.partial(_fwd_kernel, grid_x, tile, pair, track_contrib)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_pad // pair,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, pair * PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, N_ROWS, CHUNK), inst_t.dtype),
@@ -347,12 +391,14 @@ def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile,
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PPT, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_pad // pair, pair * PPT, 8), jnp.float32),
         interpret=_interpret(),
     )(tile_start, tile_end, inst_t)
+    # (pairs, pair*256, 8) -> (tiles, 256, 8): a row-major-compatible reshape
+    return out.reshape(num_pad, PPT, 8)[:num_tiles]
 
 
 # ----------------------------------------------------------------------------
@@ -422,43 +468,60 @@ def _make_emit(nch, e, total, dinst_ref, grad_scr, carry_scr, out_sems, cur):
 
 
 def _bwd_kernel(
-    grid_x, tile, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
+    grid_x, tile, pair, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
     scr, grad_scr, carry_scr, sems, out_sems, cur,
 ):
-    t = pl.program_id(0)
-    num_tiles = pl.num_programs(0)
-    s = start_ref[t]
-    e = end_ref[t]
+    # pair > 1: same pairing as the forward (see _fwd_kernel) — `pair`
+    # adjacent tiles' pixels share the chunk loop on pair*256 sublanes, and
+    # each union chunk's gradient block is emitted ONCE (summed over all
+    # pair tiles' pixels), halving both the loop trip count and the
+    # emit-protocol traffic.
+    p = pl.program_id(0)
+    num_pairs = pl.num_programs(0)
+    first = p * pair
+    rows = pair * PPT
+    s = start_ref[first]
+    e = end_ref[first + pair - 1]
     base = s // CHUNK
     nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
-    total = end_ref[num_tiles - 1]
+    total = end_ref[num_pairs * pair - 1]
     nctotal = pl.cdiv(total, CHUNK)
-    px, py = _pixel_coords(t, grid_x, tile)
+    px, py = _pixel_coords(first, grid_x, tile, rows)
+    s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
+    half = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // PPT
 
-    # tile-local pixel polynomial basis for the gradient moments (see the
-    # moment computation in live_body); tile origins are exact small ints
-    ox = ((t % grid_x) * tile).astype(jnp.float32)
-    oy = ((t // grid_x) * tile).astype(jnp.float32)
-    pxl = px - ox  # (256,1) in [0, 16)
-    pyl = py - oy
-    ones_col = jnp.ones((PPT, 1), jnp.float32)
-    pix_basis = jnp.concatenate(
-        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
-    )  # (256, 6)
+    # Tile-local pixel polynomial bases for the gradient moments (see the
+    # moment computation in live_body); tile origins are exact small ints.
+    # Each tile of the pair gets its OWN 6 basis columns, masked to its rows
+    # (block-diagonal), so ONE matmul yields every tile's moments against its
+    # own origin — mixing origins in one contraction would break the
+    # recombination, and per-tile matmuls would double the dispatch count.
+    oxs, oys, basis_cols = [], [], []
+    for i in range(pair):
+        tix = first + i
+        oxi = ((tix % grid_x) * tile).astype(jnp.float32)
+        oyi = ((tix // grid_x) * tile).astype(jnp.float32)
+        oxs.append(oxi)
+        oys.append(oyi)
+        m = half == i
+        one = jnp.where(m, 1.0, 0.0)
+        pxl = jnp.where(m, px - oxi, 0.0)  # in [0, 16) on this tile's rows
+        pyl = jnp.where(m, py - oyi, 0.0)
+        basis_cols += [one, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl]
 
-    dpix = dout_ref[0, :, 0:4]  # (256,4) cotangents of [r,g,b,invdepth]
+    dpix = dout_ref[0, :, 0:4]  # (rows,4) cotangents of [r,g,b,invdepth]
     # loop-invariant LHS of the merged moment/feature matmul (see live_body)
-    basis_dpix = jnp.concatenate([pix_basis, dpix], axis=1)  # (256, 10)
-    d_tfinal = dout_ref[0, :, 4:5]  # (256,1) cotangent of final transmittance
-    t_final = fwd_ref[0, :, 4:5]  # (256,1) forward final transmittance
+    basis_dpix = jnp.concatenate(basis_cols + [dpix], axis=1)  # (rows, 6*pair+4)
+    d_tfinal = dout_ref[0, :, 4:5]  # (rows,1) cotangent of final transmittance
+    t_final = fwd_ref[0, :, 4:5]  # (rows,1) forward final transmittance
     # S_total_p = sum_k w_k c_k  — recovered from the forward accumulators
-    s_total = jnp.sum(fwd_ref[0, :, 0:4] * dpix, axis=1, keepdims=True)  # (256,1)
+    s_total = jnp.sum(fwd_ref[0, :, 0:4] * dpix, axis=1, keepdims=True)  # (rows,1)
     bgdot = d_tfinal * t_final  # background/final-T coupling term
 
     init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
-    init(t)
+    init(p)
 
-    @pl.when(t == 0)
+    @pl.when(p == 0)
     def _():
         cur[_PEND] = 0
         cur[_WCNT] = 0
@@ -482,7 +545,7 @@ def _bwd_kernel(
         g = base + ci
         blk = fetch(g).astype(jnp.float32)
         woff = g * CHUNK
-        q = _chunk_blend(blk, px, py, t_raw, s - woff, e - woff)
+        q = _chunk_blend(blk, px, py, t_raw, s_col - woff, e_col - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
         # c_{p,j} = sum_ch feat_{ch,j} * dpix_{p,ch} — a K=4 contraction:
@@ -517,43 +580,47 @@ def _bwd_kernel(
         # recombination loses no more than ~1e-5 relative to the direct form.
         dG = q["op"] * dalpha  # (256,128)
         dgm = dG * q["g"]
-        # ONE merged 256-deep HIGHEST matmul computes both the six moments
-        # of dgm against the tile-local pixel basis AND the four feature
-        # gradients (two separate matmuls were latency-bound: each multi-
-        # pass HIGHEST dispatch costs ~0.7us against ~0.1us of extra width)
+        # ONE merged HIGHEST matmul computes every tile's six moments of dgm
+        # against ITS block-diagonal local basis AND the four feature
+        # gradients (separate matmuls were latency-bound: each multi-pass
+        # HIGHEST dispatch costs ~0.7us against ~0.1us of extra width)
         both = jax.lax.dot_general(
             basis_dpix,
-            jnp.concatenate([dgm, q["w"]], axis=1),  # (256, 256)
+            jnp.concatenate([dgm, q["w"]], axis=1),  # (rows, 256)
             (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (10, 256): [0:6, 0:128] = moments, [6:10, 128:256] = dfeat
-        mom = both[0:6, 0:CHUNK]
-        dfeat = both[6:10, CHUNK : 2 * CHUNK]  # (4,128): d r, g, b, invz
-        m0 = mom[0:1, :]
-        mxl = q["mx"] - ox  # (1,128) tile-local centers
-        myl = q["my"] - oy
-        s1x = mxl * m0 - mom[1:2, :]  # sum dgm*dx
-        s1y = myl * m0 - mom[2:3, :]  # sum dgm*dy
-        s2xx = mxl * mxl * m0 - 2.0 * mxl * mom[1:2, :] + mom[3:4, :]
-        s2xy = mxl * myl * m0 - mxl * mom[2:3, :] - myl * mom[1:2, :] + mom[4:5, :]
-        s2yy = myl * myl * m0 - 2.0 * myl * mom[2:3, :] + mom[5:6, :]
-        # d opacity = sum g*dalpha = (sum dgm)/op (op is per-gaussian)
-        d_op = m0 / jnp.maximum(q["op"], 1e-30)
-
-        # mean2d gradients from the FOLDED conic rows (ca_f = -ca/2,
-        # cb_f = -cb): -(ca s1x + cb s1y) == 2 ca_f s1x + cb_f s1y
-        grad_rows = jnp.concatenate(
-            [
-                (q["ca"] + q["ca"]) * s1x + q["cb"] * s1y,  # d mean2d_x
-                (q["cc"] + q["cc"]) * s1y + q["cb"] * s1x,  # d mean2d_y
-                -0.5 * s2xx,  # d conic_a (true-conic basis)
-                -s2xy,  # d conic_b
-                -0.5 * s2yy,  # d conic_c
-                d_op,  # d opacity
-            ],
-            axis=0,
-        )  # (6,128)
+        )  # (6*pair+4, 256): [6i:6i+6, 0:128] = tile i's moments; tail = dfeat
+        dfeat = both[6 * pair : 6 * pair + 4, CHUNK : 2 * CHUNK]  # (4,128)
+        # per-tile recombination against each tile's own origin; gradient
+        # rows are pixel sums, so the pair's blocks simply add
+        grad_rows = None
+        for i in range(pair):
+            mom = both[6 * i : 6 * i + 6, 0:CHUNK]
+            m0 = mom[0:1, :]
+            mxl = q["mx"] - oxs[i]  # (1,128) tile-local centers
+            myl = q["my"] - oys[i]
+            s1x = mxl * m0 - mom[1:2, :]  # sum dgm*dx
+            s1y = myl * m0 - mom[2:3, :]  # sum dgm*dy
+            s2xx = mxl * mxl * m0 - 2.0 * mxl * mom[1:2, :] + mom[3:4, :]
+            s2xy = mxl * myl * m0 - mxl * mom[2:3, :] - myl * mom[1:2, :] + mom[4:5, :]
+            s2yy = myl * myl * m0 - 2.0 * myl * mom[2:3, :] + mom[5:6, :]
+            # d opacity = sum g*dalpha = (sum dgm)/op (op is per-gaussian)
+            d_op = m0 / jnp.maximum(q["op"], 1e-30)
+            # mean2d gradients from the FOLDED conic rows (ca_f = -ca/2,
+            # cb_f = -cb): -(ca s1x + cb s1y) == 2 ca_f s1x + cb_f s1y
+            block = jnp.concatenate(
+                [
+                    (q["ca"] + q["ca"]) * s1x + q["cb"] * s1y,  # d mean2d_x
+                    (q["cc"] + q["cc"]) * s1y + q["cb"] * s1x,  # d mean2d_y
+                    -0.5 * s2xx,  # d conic_a (true-conic basis)
+                    -s2xy,  # d conic_b
+                    -0.5 * s2yy,  # d conic_c
+                    d_op,  # d opacity
+                ],
+                axis=0,
+            )  # (6,128)
+            grad_rows = block if grad_rows is None else grad_rows + block
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
 
@@ -563,7 +630,11 @@ def _bwd_kernel(
     ci, _, _ = jax.lax.while_loop(
         live_cond,
         live_body,
-        (jnp.int32(0), jnp.ones((PPT, 1), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
+        (
+            jnp.int32(0),
+            (e_col > s_col).astype(jnp.float32),
+            jnp.zeros((rows, 1), jnp.float32),
+        ),
     )
 
     def drain_body(i, _):
@@ -576,7 +647,7 @@ def _bwd_kernel(
     # every chunk is written exactly once, by its last contributing tile; a
     # pending carry always has a later consumer (e < total). Only the final
     # invocation must drain the (up to _WBUF) writes still in flight.
-    @pl.when(t == num_tiles - 1)
+    @pl.when(p == num_pairs - 1)
     def _():
         w = cur[_WCNT]
         for j in range(1, _WBUF + 1):
@@ -585,17 +656,29 @@ def _bwd_kernel(
                 wr_wait((w - j) % _WBUF)
 
 
-def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile):
+def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y,
+                  tile, pair=1):
     num_tiles = grid_x * grid_y
     k_pad = inst_t.shape[1]
-    kernel = functools.partial(_bwd_kernel, grid_x, tile)
+    tile_start, tile_end, num_pad = _pad_ranges(tile_start, tile_end, num_tiles, pair)
+    if num_pad != num_tiles:
+        ext = ((0, num_pad - num_tiles), (0, 0), (0, 0))
+        fwd_out = jnp.pad(fwd_out, ext)
+        dout = jnp.pad(dout, ext)
+    fwd_out = fwd_out.reshape(num_pad // pair, pair * PPT, 8)
+    dout = dout.reshape(num_pad // pair, pair * PPT, 8)
+    kernel = functools.partial(_bwd_kernel, grid_x, tile, pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_pad // pair,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # inst_t
-            pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, pair * PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, pair * PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # dinst (16, K)
         scratch_shapes=[
@@ -645,7 +728,7 @@ def _oit_alpha(blk, px, py, lo, hi):
     dx = mx - px
     dy = my - py
     power = (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PPT, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (px.shape[0], CHUNK), 1)
     valid = (lane - lo).astype(jnp.uint32) < (hi - lo).astype(jnp.uint32)
     g = jnp.exp(power)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
@@ -927,20 +1010,21 @@ def _float0(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool):
+def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool,
+                    pair: int = 1):
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz,
               inst_t, tile_start, tile_end, gauss_id, slot_valid):
         # forward reads the pre-packed (stop-gradient) instance stream; the
         # per-gaussian args exist to wire the custom VJP to them
         return _run_forward(
-            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib, pair
         )
 
     def blend_fwd(mean2d, conic, opacity, rgb, invz,
                   inst_t, tile_start, tile_end, gauss_id, slot_valid):
         out = _run_forward(
-            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, track_contrib, pair
         )
         n_gauss = mean2d.shape[0]
         return out, (out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss)
@@ -948,7 +1032,7 @@ def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool):
     def blend_bwd(res, dout):
         fwd_out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss = res
         dinst = _run_backward(
-            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
+            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile, pair
         )  # (16, K)
         # mask padding slots and any segment tail garbage before reduction
         dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
@@ -975,6 +1059,12 @@ def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool):
     return blend
 
 
+# tiles blended per sorted-kernel grid step (see _fwd_kernel). Default 1 =
+# the round-2 shape; 2 stacks adjacent tiles on 512 sublanes. Overridable
+# per call via blend_tiles_pallas(tiles_per_step=...) for A/B measurement.
+TILES_PER_STEP = 1
+
+
 def blend_tiles_pallas(
     screen: ScreenGaussians,
     bins,
@@ -984,6 +1074,7 @@ def blend_tiles_pallas(
     packet_dtype=jnp.float32,
     track_contrib: bool = False,
     blend_mode: str = "sorted",
+    tiles_per_step: int | None = None,
 ) -> BlendOutput:
     """Blend the sorted instance stream with the Pallas kernels.
 
@@ -1043,7 +1134,8 @@ def blend_tiles_pallas(
             overflow=jnp.zeros((), jnp.int32),
         )
 
-    blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib)
+    pair = TILES_PER_STEP if tiles_per_step is None else tiles_per_step
+    blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib, pair)
     out = blend(
         screen.mean2d, screen.conic, screen.opacity, screen.rgb, inv_depth_all,
         inst_t, tile_start, tile_end, gauss_id, slot_valid,

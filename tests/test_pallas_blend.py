@@ -267,6 +267,104 @@ def test_saturation_early_out_is_exact():
             assert rel < 5e-5, f"{label}/{name}: rel diff {rel}"
 
 
+@pytest.mark.parametrize("dims", [(96, 80), (80, 80)])  # 30 tiles / 25 (odd -> padded pair)
+def test_tile_pairing_matches_unpaired(dims):
+    """tiles_per_step=2 is a pure execution-shape change (two adjacent tiles
+    share the chunk loop on 512 sublanes, one gradient emit per union chunk):
+    forward outputs and gradients must match the unpaired kernels."""
+    w, h = dims
+    screen, bins, gx, gy = build(width=w, height=h)
+    o1 = rp.blend_tiles_pallas(screen, bins, gx, gy, 16, track_contrib=True)
+    o2 = rp.blend_tiles_pallas(
+        screen, bins, gx, gy, 16, track_contrib=True, tiles_per_step=2
+    )
+    np.testing.assert_allclose(np.asarray(o2.color), np.asarray(o1.color), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(o2.invdepth), np.asarray(o1.invdepth), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(o2.final_t), np.asarray(o1.final_t), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(o2.n_contrib), np.asarray(o1.n_contrib))
+
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.random((gx * gy, 256, 3)), jnp.float32)
+
+    def loss(pair):
+        def f(mean2d, conic, opacity, rgb, depth):
+            s2 = screen.replace(
+                mean2d=mean2d, conic=conic, opacity=opacity, rgb=rgb, depth=depth
+            )
+            out = rp.blend_tiles_pallas(s2, bins, gx, gy, 16, tiles_per_step=pair)
+            return jnp.sum((out.color - tgt) ** 2) + jnp.sum(out.final_t * 0.3)
+
+        return f
+
+    args = (screen.mean2d, screen.conic, screen.opacity, screen.rgb, screen.depth)
+    g1 = jax.grad(loss(1), argnums=(0, 1, 2, 3, 4))(*args)
+    g2 = jax.grad(loss(2), argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["mean2d", "conic", "opacity", "rgb", "depth"], g1, g2):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        rel = float(jnp.abs(a - b).max()) / scale
+        assert rel < 1e-5, f"{name}: rel diff {rel}"
+
+
+def test_tile_pairing_boundary_patterns():
+    """The adversarial range shapes of the streaming-protocol test, run
+    through the PAIRED kernels: empty tiles inside a pair, ranges ending on
+    chunk boundaries, a boundary chunk shared across a PAIR boundary (the
+    carry/hold protocol now at pair granularity), and unused tail capacity."""
+    from gsplat_tpu.ops.binning import TileBins
+
+    n, width, height = 400, 64, 32  # 4x2 tile grid -> 4 pairs
+    sc = make_test_scene(
+        np.random.default_rng(11), n=n, width=width, height=height, sh_degree=1
+    )
+    params, camera, alive = scene_to_inputs(sc)
+    settings = make_render_settings(
+        sh_degree=1, max_per_tile=1024, instance_capacity=1 << 10
+    )
+    gx, gy = grid_dims(camera, 16)
+    screen = preprocess(params, alive, camera, settings, gx, gy)
+
+    cap = 1 << 10
+    rng = np.random.default_rng(7)
+    start = np.array([0, 0, 100, 256, 257, 900, 900, 1000], np.int32)
+    end = np.array([0, 100, 256, 257, 900, 900, 1000, 1000], np.int32)
+    gid = rng.integers(0, n, size=cap).astype(np.int32)
+    tile_id = np.full(cap, gx * gy, np.int32)
+    for t in range(8):
+        tile_id[start[t] : end[t]] = t
+    bins = TileBins(
+        gauss_id=jnp.asarray(gid),
+        tile_id=jnp.asarray(tile_id),
+        tile_start=jnp.asarray(start),
+        tile_end=jnp.asarray(end),
+        num_instances=jnp.int32(1000),
+        overflow=jnp.int32(0),
+    )
+
+    o1 = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+    o2 = rp.blend_tiles_pallas(screen, bins, gx, gy, 16, tiles_per_step=2)
+    np.testing.assert_allclose(np.asarray(o2.color), np.asarray(o1.color), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(o2.final_t), np.asarray(o1.final_t), atol=1e-6
+    )
+
+    def loss(pair):
+        def f(mean2d, opacity):
+            s2 = screen.replace(mean2d=mean2d, opacity=opacity)
+            out = rp.blend_tiles_pallas(s2, bins, gx, gy, 16, tiles_per_step=pair)
+            return jnp.sum(out.color**2) + jnp.sum(out.final_t * 0.3)
+
+        return f
+
+    args = (screen.mean2d, screen.opacity)
+    g1 = jax.grad(loss(1), (0, 1))(*args)
+    g2 = jax.grad(loss(2), (0, 1))(*args)
+    for name, a, b in zip(["mean2d", "opacity"], g1, g2):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
+        assert rel < 1e-5, f"{name}: rel diff {rel}"
+
+
 def test_backward_large_splats_far_centers():
     """Moment-recombination robustness for huge splats (advisor round-2 low):
     the backward reconstructs conic/mean gradients from tile-local moments as
