@@ -738,29 +738,35 @@ def _oit_alpha(blk, px, py, lo, hi):
                 mx=mx, my=my)
 
 
-def _oit_fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref,
+def _oit_fwd_kernel(grid_x, tile, pair, start_ref, end_ref, inst_ref, out_ref,
                     scr, sems, cur):
-    t = pl.program_id(0)
-    num_tiles = pl.num_programs(0)
-    s = start_ref[t]
-    e = end_ref[t]
+    # pair > 1: same tile pairing as the sorted kernels (see _fwd_kernel) —
+    # trivially exact here because the sums are commutative and there is no
+    # early stop to coarsen
+    p = pl.program_id(0)
+    num_pairs = pl.num_programs(0)
+    first = p * pair
+    rows = pair * PPT
+    s = start_ref[first]
+    e = end_ref[first + pair - 1]
     base = s // CHUNK
     nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
-    nctotal = pl.cdiv(end_ref[num_tiles - 1], CHUNK)
-    px, py = _pixel_coords(t, grid_x, tile)
+    nctotal = pl.cdiv(end_ref[num_pairs * pair - 1], CHUNK)
+    px, py = _pixel_coords(first, grid_x, tile, rows)
+    s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
 
     init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
-    init(t)
+    init(p)
 
     ones_row = jnp.ones((1, CHUNK), jnp.float32)
 
     # no early stop: every instance contributes to the commutative sums
     def body(ci, st):
-        acc, logt = st  # (256,5), (256,1)
+        acc, logt = st  # (rows,5), (rows,1)
         g = base + ci
         blk = fetch(g).astype(jnp.float32)
         woff = g * CHUNK
-        q = _oit_alpha(blk, px, py, s - woff, e - woff)
+        q = _oit_alpha(blk, px, py, s_col - woff, e_col - woff)
         z = blk[_ROW_FEAT + 3 : _ROW_FEAT + 4, :]  # (1,128) invz
         aw = q["alpha"] * (z * z)
         feat5 = jnp.concatenate(
@@ -776,22 +782,23 @@ def _oit_fwd_kernel(grid_x, tile, start_ref, end_ref, inst_ref, out_ref,
 
     acc, logt = jax.lax.fori_loop(
         0, nch, body,
-        (jnp.zeros((PPT, 5), jnp.float32), jnp.zeros((PPT, 1), jnp.float32)),
+        (jnp.zeros((rows, 5), jnp.float32), jnp.zeros((rows, 1), jnp.float32)),
     )
     out_ref[0, :, 0:5] = acc  # N (4) + D (1)
     out_ref[0, :, 5:6] = jnp.exp(logt)  # T
-    out_ref[0, :, 6:8] = jnp.zeros((PPT, 2), jnp.float32)
+    out_ref[0, :, 6:8] = jnp.zeros((rows, 2), jnp.float32)
 
 
-def _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
+def _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile, pair=1):
     num_tiles = grid_x * grid_y
-    kernel = functools.partial(_oit_fwd_kernel, grid_x, tile)
+    tile_start, tile_end, num_pad = _pad_ranges(tile_start, tile_end, num_tiles, pair)
+    kernel = functools.partial(_oit_fwd_kernel, grid_x, tile, pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_pad // pair,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, pair * PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, N_ROWS, CHUNK), inst_t.dtype),
@@ -799,48 +806,60 @@ def _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile):
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PPT, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_pad // pair, pair * PPT, 8), jnp.float32),
         interpret=_interpret(),
     )(tile_start, tile_end, inst_t)
+    return out.reshape(num_pad, PPT, 8)[:num_tiles]
 
 
 def _oit_bwd_kernel(
-    grid_x, tile, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
+    grid_x, tile, pair, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
     scr, grad_scr, carry_scr, sems, out_sems, cur,
 ):
-    t = pl.program_id(0)
-    num_tiles = pl.num_programs(0)
-    s = start_ref[t]
-    e = end_ref[t]
+    # pair > 1: block-diagonal per-tile bases exactly as in the sorted
+    # backward (_bwd_kernel); the W sum (row 0 of each tile's basis block
+    # against alpha*K) becomes the sum of the pair's per-tile rows
+    p = pl.program_id(0)
+    num_pairs = pl.num_programs(0)
+    first = p * pair
+    rows = pair * PPT
+    s = start_ref[first]
+    e = end_ref[first + pair - 1]
     base = s // CHUNK
     nch = jnp.where(e > s, pl.cdiv(e, CHUNK) - base, 0)
-    total = end_ref[num_tiles - 1]
+    total = end_ref[num_pairs * pair - 1]
     nctotal = pl.cdiv(total, CHUNK)
-    px, py = _pixel_coords(t, grid_x, tile)
+    px, py = _pixel_coords(first, grid_x, tile, rows)
+    s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
+    half = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // PPT
 
-    ox = ((t % grid_x) * tile).astype(jnp.float32)
-    oy = ((t // grid_x) * tile).astype(jnp.float32)
-    pxl = px - ox
-    pyl = py - oy
-    ones_col = jnp.ones((PPT, 1), jnp.float32)
-    pix_basis = jnp.concatenate(
-        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
-    )  # (256, 6)
+    oxs, oys, basis_cols = [], [], []
+    for i in range(pair):
+        tix = first + i
+        oxi = ((tix % grid_x) * tile).astype(jnp.float32)
+        oyi = ((tix // grid_x) * tile).astype(jnp.float32)
+        oxs.append(oxi)
+        oys.append(oyi)
+        m = half == i
+        one = jnp.where(m, 1.0, 0.0)
+        pxl = jnp.where(m, px - oxi, 0.0)
+        pyl = jnp.where(m, py - oyi, 0.0)
+        basis_cols += [one, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl]
 
-    dN = dout_ref[0, :, 0:4]  # (256,4) cotangents of the raw sums N
-    dD = dout_ref[0, :, 4:5]  # (256,1)
-    dT = dout_ref[0, :, 5:6]  # (256,1)
+    dN = dout_ref[0, :, 0:4]  # (rows,4) cotangents of the raw sums N
+    dD = dout_ref[0, :, 4:5]  # (rows,1)
+    dT = dout_ref[0, :, 5:6]  # (rows,1)
     t_fin = fwd_ref[0, :, 5:6]
     rT = dT * t_fin  # cotangent of logT = sum log1p(-alpha)
-    basis_dN = jnp.concatenate([pix_basis, dN], axis=1)  # (256,10)
+    basis_dN = jnp.concatenate(basis_cols + [dN], axis=1)  # (rows, 6*pair+4)
 
     init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
-    init(t)
+    init(p)
 
-    @pl.when(t == 0)
+    @pl.when(p == 0)
     def _():
         cur[_PEND] = 0
         cur[_WCNT] = 0
@@ -853,7 +872,7 @@ def _oit_bwd_kernel(
         g = base + ci
         blk = fetch(g).astype(jnp.float32)
         woff = g * CHUNK
-        q = _oit_alpha(blk, px, py, s - woff, e - woff)
+        q = _oit_alpha(blk, px, py, s_col - woff, e_col - woff)
         feat = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
         z = feat[3:4, :]
         z2 = z * z  # (1,128)
@@ -866,62 +885,66 @@ def _oit_bwd_kernel(
             + dN[:, 2:3] * feat[2:3, :]
             + dN[:, 3:4] * feat[3:4, :]
             + dD
-        )  # (256,128)
+        )  # (rows,128)
         inv_one_m = 1.0 / (1.0 - alpha)
         dalpha = jnp.where(q["keep"], z2 * K - rT * inv_one_m, 0.0)
 
         dG = q["op"] * dalpha
         dgm = dG * q["g"]
         aK = alpha * K
-        # one merged 256-deep matmul: moments of dgm against the pixel
-        # basis, dN^T @ alpha (feature grads + V), and basis-row-0 of
-        # alpha*K (the W sum for the invz chain through the depth weight)
+        # one merged matmul: each tile's moments of dgm against its own
+        # block-diagonal basis, dN^T @ alpha (feature grads + V), and each
+        # basis block's row-0 of alpha*K (the W sum for the invz chain
+        # through the depth weight)
         out10 = jax.lax.dot_general(
             basis_dN,
-            jnp.concatenate([dgm, alpha, aK], axis=1),  # (256, 384)
+            jnp.concatenate([dgm, alpha, aK], axis=1),  # (rows, 384)
             (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (10, 384)
-        mom = out10[0:6, 0:CHUNK]
-        RA = out10[6:10, CHUNK : 2 * CHUNK]  # dN_ch^T @ alpha
-        W = out10[0:1, 2 * CHUNK : 3 * CHUNK]  # sum_p alpha*K
-
-        m0 = mom[0:1, :]
-        mxl = q["mx"] - ox
-        myl = q["my"] - oy
-        s1x = mxl * m0 - mom[1:2, :]
-        s1y = myl * m0 - mom[2:3, :]
-        s2xx = mxl * mxl * m0 - 2.0 * mxl * mom[1:2, :] + mom[3:4, :]
-        s2xy = mxl * myl * m0 - mxl * mom[2:3, :] - myl * mom[1:2, :] + mom[4:5, :]
-        s2yy = myl * myl * m0 - 2.0 * myl * mom[2:3, :] + mom[5:6, :]
-        d_op = m0 / jnp.maximum(q["op"], 1e-30)
+        )  # (6*pair+4, 384)
+        RA = out10[6 * pair : 6 * pair + 4, CHUNK : 2 * CHUNK]  # dN^T @ alpha
+        W = None  # sum_p alpha*K — per-tile ones rows, summed over the pair
+        grad6 = None
+        for i in range(pair):
+            mom = out10[6 * i : 6 * i + 6, 0:CHUNK]
+            Wi = out10[6 * i : 6 * i + 1, 2 * CHUNK : 3 * CHUNK]
+            W = Wi if W is None else W + Wi
+            m0 = mom[0:1, :]
+            mxl = q["mx"] - oxs[i]
+            myl = q["my"] - oys[i]
+            s1x = mxl * m0 - mom[1:2, :]
+            s1y = myl * m0 - mom[2:3, :]
+            s2xx = mxl * mxl * m0 - 2.0 * mxl * mom[1:2, :] + mom[3:4, :]
+            s2xy = mxl * myl * m0 - mxl * mom[2:3, :] - myl * mom[1:2, :] + mom[4:5, :]
+            s2yy = myl * myl * m0 - 2.0 * myl * mom[2:3, :] + mom[5:6, :]
+            d_op = m0 / jnp.maximum(q["op"], 1e-30)
+            block = jnp.concatenate(
+                [
+                    (q["ca"] + q["ca"]) * s1x + q["cb"] * s1y,  # d mean2d_x
+                    (q["cc"] + q["cc"]) * s1y + q["cb"] * s1x,  # d mean2d_y
+                    -0.5 * s2xx,
+                    -s2xy,
+                    -0.5 * s2yy,
+                    d_op,
+                ],
+                axis=0,
+            )  # (6,128)
+            grad6 = block if grad6 is None else grad6 + block
 
         # invz chain: N/D see invz through the weight aw = alpha*invz^2
         # (W term) and through the 4th feature (V = RA row 3)
         d_rgb = z2 * RA[0:3, :]
         d_z = (z + z) * W + z2 * RA[3:4, :]
 
-        grad_rows = jnp.concatenate(
-            [
-                (q["ca"] + q["ca"]) * s1x + q["cb"] * s1y,  # d mean2d_x
-                (q["cc"] + q["cc"]) * s1y + q["cb"] * s1x,  # d mean2d_y
-                -0.5 * s2xx,
-                -s2xy,
-                -0.5 * s2yy,
-                d_op,
-                d_rgb,
-                d_z,
-            ],
-            axis=0,
-        )  # (10,128)
+        grad_rows = jnp.concatenate([grad6, d_rgb, d_z], axis=0)  # (10,128)
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         emit(ci, g, jnp.concatenate([grad_rows, pad], axis=0))
         return 0
 
     jax.lax.fori_loop(0, nch, body, 0)
 
-    @pl.when(t == num_tiles - 1)
+    @pl.when(p == num_pairs - 1)
     def _():
         w = cur[_WCNT]
         for j in range(1, _WBUF + 1):
@@ -931,17 +954,28 @@ def _oit_bwd_kernel(
 
 
 def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
-                      grid_x, grid_y, tile):
+                      grid_x, grid_y, tile, pair=1):
     num_tiles = grid_x * grid_y
     k_pad = inst_t.shape[1]
-    kernel = functools.partial(_oit_bwd_kernel, grid_x, tile)
+    tile_start, tile_end, num_pad = _pad_ranges(tile_start, tile_end, num_tiles, pair)
+    if num_pad != num_tiles:
+        ext = ((0, num_pad - num_tiles), (0, 0), (0, 0))
+        fwd_out = jnp.pad(fwd_out, ext)
+        dout = jnp.pad(dout, ext)
+    fwd_out = fwd_out.reshape(num_pad // pair, pair * PPT, 8)
+    dout = dout.reshape(num_pad // pair, pair * PPT, 8)
+    kernel = functools.partial(_oit_bwd_kernel, grid_x, tile, pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_pad // pair,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, pair * PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, pair * PPT, 8), lambda t, s, e: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -963,22 +997,26 @@ def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_oit_vjp(grid_x: int, grid_y: int, tile: int):
+def _make_oit_vjp(grid_x: int, grid_y: int, tile: int, pair: int = 1):
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz,
               inst_t, tile_start, tile_end, gauss_id, slot_valid):
-        return _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
+        return _run_oit_forward(
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, pair
+        )
 
     def blend_fwd(mean2d, conic, opacity, rgb, invz,
                   inst_t, tile_start, tile_end, gauss_id, slot_valid):
-        out = _run_oit_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile)
+        out = _run_oit_forward(
+            inst_t, tile_start, tile_end, grid_x, grid_y, tile, pair
+        )
         n_gauss = mean2d.shape[0]
         return out, (out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss)
 
     def blend_bwd(res, dout):
         fwd_out, inst_t, tile_start, tile_end, gauss_id, slot_valid, n_gauss = res
         dinst = _run_oit_backward(
-            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile
+            inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y, tile, pair
         )
         dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
         from gsplat_tpu.ops.reduce import reduce_by_gid
@@ -1117,7 +1155,8 @@ def blend_tiles_pallas(
     if blend_mode == "oit":
         # the custom VJP wraps only the RAW commutative sums (N, D, T); the
         # quotient/compositing below is plain jnp, autodiffed for free
-        blend = _make_oit_vjp(grid_x, grid_y, tile)
+        pair = TILES_PER_STEP if tiles_per_step is None else tiles_per_step
+        blend = _make_oit_vjp(grid_x, grid_y, tile, pair)
         out = blend(
             screen.mean2d, screen.conic, screen.opacity, screen.rgb,
             inv_depth_all, inst_t, tile_start, tile_end, gauss_id, slot_valid,

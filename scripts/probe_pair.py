@@ -59,5 +59,5 @@ if __name__ == "__main__":
     assert jax.devices()[0].platform != "cpu", "hardware probe"
     # anchor: the 262k full step is known ~110-120ms; distrust a session
     # reporting far less
-    run(262_144)
-    run(1_048_576)
+    run(262_144, pairs=(1, 2, 4))
+    run(1_048_576, pairs=(1, 2, 4))

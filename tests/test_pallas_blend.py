@@ -365,6 +365,39 @@ def test_tile_pairing_boundary_patterns():
         assert rel < 1e-5, f"{name}: rel diff {rel}"
 
 
+def test_tile_pairing_oit_matches_unpaired():
+    """OIT pairing: per-tile W rows summed over the pair, block-diagonal
+    moments — outputs and gradients must match the unpaired OIT kernels."""
+    screen, bins, gx, gy = build(width=80, height=80)  # 25 tiles (odd)
+    o1 = rp.blend_tiles_pallas(screen, bins, gx, gy, 16, blend_mode="oit")
+    o2 = rp.blend_tiles_pallas(
+        screen, bins, gx, gy, 16, blend_mode="oit", tiles_per_step=2
+    )
+    np.testing.assert_allclose(np.asarray(o2.color), np.asarray(o1.color), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o2.final_t), np.asarray(o1.final_t), atol=1e-6)
+
+    def loss(pair):
+        def f(mean2d, opacity, rgb, depth):
+            s2 = screen.replace(mean2d=mean2d, opacity=opacity, rgb=rgb, depth=depth)
+            out = rp.blend_tiles_pallas(
+                s2, bins, gx, gy, 16, blend_mode="oit", tiles_per_step=pair
+            )
+            return (
+                jnp.sum(out.color**2)
+                + jnp.sum(out.final_t * 0.3)
+                + jnp.sum(out.invdepth * 0.1)
+            )
+
+        return f
+
+    args = (screen.mean2d, screen.opacity, screen.rgb, screen.depth)
+    g1 = jax.grad(loss(1), (0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss(2), (0, 1, 2, 3))(*args)
+    for name, a, b in zip(["mean2d", "opacity", "rgb", "depth"], g1, g2):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
+        assert rel < 2e-5, f"{name}: rel diff {rel}"
+
+
 def test_backward_large_splats_far_centers():
     """Moment-recombination robustness for huge splats (advisor round-2 low):
     the backward reconstructs conic/mean gradients from tile-local moments as
