@@ -94,6 +94,42 @@ def _check_f32_exact_limits(n: int, capacity: int) -> None:
         )
 
 
+def _conic_box_qmin(mx, my, a, b, c, x0, y0, tile):
+    """EXACT min of Q(dx, dy) = (a*dx^2 + c*dy^2)/2 + b*dx*dy over the tile
+    pixel box [x0, x0+tile-1] x [y0, y0+tile-1], relative to center (mx, my).
+
+    Q is the conic quadratic (alpha = op*exp(-Q)), convex for a psd conic,
+    so the box minimum is 0 when the center lies inside the box and
+    otherwise lies on one of the two NEAR edges; each edge's 1D minimum is
+    closed-form (clamp the conjugate coordinate to the edge's extent). The
+    far edges never hold the minimum: for any fixed y, the x-marginal
+    minimum sits either at the near-x bound or at interior x* = -b*y/a —
+    and the interior case is exactly what the near-y edge's clamped scan
+    evaluates (symmetrically in y). Replaces the round-1/2 isotropic
+    distance test (d^2 vs 2*lambda_max*ln_term), which kept every tile the
+    bounding CIRCLE touches — for elongated/rotated splats ~30% of a
+    trained scene's instances lie in AABB corners the ellipse never
+    reaches (measured on chair 30k).
+
+    Dead/padding rows may carry a == c == 0: the divisions then produce
+    non-finite Qs whose compares are False — callers must gate validity
+    independently (they do: coverage/live masks).
+    """
+    dx0 = x0 - mx
+    dx1 = dx0 + (tile - 1.0)
+    dy0 = y0 - my
+    dy1 = dy0 + (tile - 1.0)
+    dxc = jnp.clip(0.0, dx0, dx1)  # nearest dx in box; 0 if center inside
+    dyc = jnp.clip(0.0, dy0, dy1)
+    # near-x edge (dx = dxc): dQ/ddy = b*dx + c*dy = 0 -> dy* = -b*dxc/c
+    dyx = jnp.clip(-(b / c) * dxc, dy0, dy1)
+    qx = 0.5 * a * dxc * dxc + b * dxc * dyx + 0.5 * c * dyx * dyx
+    # near-y edge (dy = dyc): dx* = -b*dyc/a
+    dxy = jnp.clip(-(b / a) * dyc, dx0, dx1)
+    qy = 0.5 * a * dxy * dxy + b * dxy * dyc + 0.5 * c * dyc * dyc
+    return jnp.minimum(qx, qy)
+
+
 def _rank_table(boundaries, size: int):
     """rank[j] = #entries with boundaries[b] <= j, for j in [0, size).
 
@@ -147,11 +183,14 @@ def bin_gaussians(
             iota.astype(jnp.float32),  # == gaussian id after the row-gather
             screen.mean2d[:, 0],
             screen.mean2d[:, 1],
-            screen.cull_r2,
+            screen.cull_qmax,
+            screen.conic[:, 0],
+            screen.conic[:, 1],
+            screen.conic[:, 2],
         ],
         axis=1,
-    )  # (N, 8) all-f32 (integer columns < 2^24, exact)
-    pre_o = pre[order]  # (N, 8) single row-gather; col 4 becomes order[i]
+    )  # (N, 11) all-f32 (integer columns < 2^24, exact)
+    pre_o = pre[order]  # (N, 11) single row-gather; col 4 becomes order[i]
 
     tiles_i = pre_o[:, 0].astype(jnp.int32)
     cum = jnp.cumsum(tiles_i)  # inclusive
@@ -166,17 +205,17 @@ def bin_gaussians(
     # gaussian's attribute DELTA at its run-start slot, then one cumsum down
     # the slot axis telescopes the deltas back into per-slot attribute rows.
     # Integer-valued f32 columns are exact under the cumsum (< 2^24); the
-    # mean2d/cull_r2 columns pick up bounded rounding drift, absorbed by the
+    # mean2d/conic/cull columns pick up bounded rounding drift, absorbed by the
     # tight-cull margin (projection.py).
     tbl = pre_o.at[:, 0].set(jnp.minimum(cum_excl, 1 << 24).astype(jnp.float32))
-    delta = jnp.concatenate([tbl[:1], tbl[1:] - tbl[:-1]], axis=0)  # (N, 8)
+    delta = jnp.concatenate([tbl[:1], tbl[1:] - tbl[:-1]], axis=0)  # (N, 11)
     # live rows own slots [cum_excl, cum); dead rows pile their deltas onto
     # slot `total` (or drop past capacity) — both only touch invalid slots
     start_slot = jnp.where(cum_excl < capacity, cum_excl, capacity)
-    grid = jnp.zeros((capacity + 1, 8), jnp.float32).at[start_slot].add(
+    grid = jnp.zeros((capacity + 1, 11), jnp.float32).at[start_slot].add(
         delta, mode="drop"
     )
-    rows = jnp.cumsum(grid[:capacity], axis=0)  # (K, 8)
+    rows = jnp.cumsum(grid[:capacity], axis=0)  # (K, 11)
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     local = slots - rows[:, 0].astype(jnp.int32)
@@ -187,16 +226,16 @@ def bin_gaussians(
 
     # --- tight cull: drop instances provably invisible in their tile
     # (max alpha over the tile's pixel box < 1/255 -> the per-pixel blend
-    # skips them everywhere, forward and backward; see cull_r2 derivation)
+    # skips them everywhere, forward and backward; see cull_qmax derivation
+    # in projection.py and the exact box minimum in _conic_box_qmin)
     valid = slots < jnp.minimum(total, capacity)
     if tight_cull:
-        x0 = (tx * tile).astype(jnp.float32)
-        y0 = (ty * tile).astype(jnp.float32)
-        mx = rows[:, 5]
-        my = rows[:, 6]
-        dx = jnp.clip(mx, x0, x0 + tile - 1) - mx
-        dy = jnp.clip(my, y0, y0 + tile - 1) - my
-        valid = valid & (dx * dx + dy * dy <= rows[:, 7])
+        qmin = _conic_box_qmin(
+            rows[:, 5], rows[:, 6], rows[:, 8], rows[:, 9], rows[:, 10],
+            (tx * tile).astype(jnp.float32), (ty * tile).astype(jnp.float32),
+            float(tile),
+        )
+        valid = valid & (qmin <= rows[:, 7])
     tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
     gid = jnp.where(valid, rows[:, 4], 0).astype(jnp.int32)
 
@@ -324,11 +363,15 @@ def _expand_kernel(grid_x, tile, num_tiles, tight_cull, w0_ref, tbl_ref,
     if tight_cull:
         mx = rows[_T_ATTR0 : _T_ATTR0 + 1, :]
         my = rows[_T_ATTR0 + 1 : _T_ATTR0 + 2, :]
-        x0 = tx * float(tile)
-        y0 = ty * float(tile)
-        dx = jnp.clip(mx, x0, x0 + (tile - 1)) - mx
-        dy = jnp.clip(my, y0, y0 + (tile - 1)) - my
-        valid = valid & (dx * dx + dy * dy <= rows[_T_CULL : _T_CULL + 1, :])
+        # attr conic rows ride FOLDED as [-a/2, -b, -c/2]; unfold with exact
+        # power-of-two/negation scalings so the cull sees the true conic
+        a = -2.0 * rows[_T_ATTR0 + 2 : _T_ATTR0 + 3, :]
+        b = -rows[_T_ATTR0 + 3 : _T_ATTR0 + 4, :]
+        c = -2.0 * rows[_T_ATTR0 + 4 : _T_ATTR0 + 5, :]
+        qmin = _conic_box_qmin(
+            mx, my, a, b, c, tx * float(tile), ty * float(tile), float(tile)
+        )
+        valid = valid & (qmin <= rows[_T_CULL : _T_CULL + 1, :])
 
     tile_key = jnp.where(valid, tile_id, float(num_tiles)).astype(jnp.int32)
     dkey = pltpu.bitcast(rows[_T_DEPTH : _T_DEPTH + 1, :], jnp.int32)
@@ -443,7 +486,7 @@ def pack_bins(
         liv(screen.rgb[:, 1]),  # g
         liv(screen.rgb[:, 2]),  # b
         liv(1.0 / jnp.maximum(screen.depth, 0.2)),  # invz
-        liv(screen.cull_r2),  # _T_CULL
+        liv(screen.cull_qmax),  # _T_CULL
         jnp.ones((n,), jnp.float32),  # _T_COVER (1 for real rows)
         jnp.minimum(cum_excl, 1 << 24).astype(jnp.float32),  # _T_CUME
         jnp.minimum(cum, 1 << 24).astype(jnp.float32),  # _T_CUMI

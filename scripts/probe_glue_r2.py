@@ -91,7 +91,7 @@ def main():
         iota.astype(jnp.float32),
         screen.mean2d[:, 0],
         screen.mean2d[:, 1],
-        screen.cull_r2,
+        screen.cull_qmax,
     ], axis=1)
     f = jax.jit(lambda p, o: p[o])
     t, pre_o = timeit(f, pre, order); print(f"pre row-gather (N,8) {t*1e3:8.2f} ms")

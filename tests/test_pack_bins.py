@@ -103,3 +103,103 @@ def test_pack_bins_overflow_reported():
     starts = np.asarray(pb.tile_start)
     assert np.all(ends >= starts)
     assert np.all(starts[1:] == ends[:-1])
+
+
+def _elongated_scene(seed, n):
+    """Scene whose splats are strongly anisotropic (thin, arbitrarily
+    rotated) — the regime where the conic-metric cull beats the circle."""
+    rng = np.random.default_rng(seed)
+    sc = make_test_scene(rng, n=n, width=160, height=112, sh_degree=1)
+    s = np.exp(sc["log_scaling"])
+    s[:, 0] *= rng.uniform(4.0, 30.0, n)  # stretch one axis hard
+    s[:, 1] *= rng.uniform(0.05, 0.4, n)
+    sc["log_scaling"] = np.log(s).astype(np.float32)
+    params, camera, alive = scene_to_inputs(sc)
+    settings = make_render_settings(sh_degree=1, instance_capacity=1 << 16)
+    gx, gy = grid_dims(camera, 16)
+    screen = preprocess(params, alive, camera, settings, gx, gy)
+    return screen, gx, gy
+
+
+@pytest.mark.parametrize("scene_kind", ["random", "elongated"])
+def test_tight_cull_is_conservative(scene_kind):
+    """Every instance the conic-metric cull drops must have alpha < 1/255 at
+    EVERY pixel of its tile (brute-forced with the blend's exact alpha
+    rule) — the invariant that makes culling invisible to renders and
+    gradients."""
+    from gsplat_tpu.ops.rasterize_jnp import ALPHA_MAX, ALPHA_MIN
+
+    cap = 1 << 16
+    if scene_kind == "random":
+        screen, gx, gy = _scene(13, 3000, cap, True)
+    else:
+        screen, gx, gy = _elongated_scene(17, 1200)
+    on = bin_gaussians(screen, gx, gy, cap, 16, tight_cull=True)
+    off = bin_gaussians(screen, gx, gy, cap, 16, tight_cull=False)
+    assert int(on.overflow) == 0 and int(off.overflow) == 0
+
+    def inst_set(b):
+        t = np.asarray(b.tile_id)
+        g = np.asarray(b.gauss_id)
+        live = t < gx * gy
+        return set(zip(t[live].tolist(), g[live].tolist()))
+
+    culled = inst_set(off) - inst_set(on)
+    assert inst_set(on) <= inst_set(off)
+    assert len(culled) > 0, "scene must exercise the cull"
+
+    s = jax.tree.map(np.asarray, screen)
+    px = np.arange(16)
+    PX, PY = np.meshgrid(px, px)
+    worst = 0.0
+    for t, g in culled:
+        tx, ty = t % gx, t // gx
+        dx = (tx * 16 + PX).astype(np.float64) - s.mean2d[g, 0]
+        dy = (ty * 16 + PY).astype(np.float64) - s.mean2d[g, 1]
+        a, b_, c = s.conic[g]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b_ * dx * dy
+        alpha = np.minimum(s.opacity[g] * np.exp(power), ALPHA_MAX)
+        contrib = (power <= 0.0) & (alpha >= ALPHA_MIN)
+        worst = max(worst, float(alpha[power <= 0.0].max(initial=0.0)))
+        assert not contrib.any(), (
+            f"culled instance (tile {t}, gid {g}) has a contributing pixel "
+            f"(max alpha {alpha.max()})"
+        )
+    assert worst < ALPHA_MIN
+
+
+@pytest.mark.parametrize("scene_kind", ["random", "elongated"])
+def test_tight_cull_blend_equivalence(scene_kind):
+    """Culling must not change renders or gradients beyond instance-order
+    f32 rounding (removed instances shift lane positions in the scans)."""
+    import gsplat_tpu.ops.rasterize_pallas as rp
+
+    cap = 1 << 16
+    if scene_kind == "random":
+        screen, gx, gy = _scene(13, 3000, cap, True)
+    else:
+        screen, gx, gy = _elongated_scene(17, 1200)
+
+    outs, grads = [], []
+    for tc in (True, False):
+        bins = pack_bins(screen, gx, gy, cap, 16, tight_cull=tc)
+        out = rp.blend_tiles_pallas(screen, bins, gx, gy, 16)
+        outs.append(out)
+
+        def f(mean2d, opacity, bins=bins):
+            o = rp.blend_tiles_pallas(
+                screen.replace(mean2d=mean2d, opacity=opacity), bins, gx, gy, 16
+            )
+            return jnp.sum(o.color**2) + jnp.sum(o.final_t * 0.3)
+
+        grads.append(jax.grad(f, (0, 1))(screen.mean2d, screen.opacity))
+
+    np.testing.assert_allclose(
+        np.asarray(outs[0].color), np.asarray(outs[1].color), atol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].final_t), np.asarray(outs[1].final_t), atol=3e-6
+    )
+    for name, a, b in zip(["mean2d", "opacity"], grads[0], grads[1]):
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
+        assert rel < 2e-5, f"{name}: rel diff {rel}"

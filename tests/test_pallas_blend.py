@@ -539,7 +539,7 @@ def test_oit_empty_and_nonoverlapping_match_sorted():
     screen = screen.replace(
         rect_min=rect_min, rect_max=rect_max,
         tiles_touched=tiles, mask=jnp.ones((n,), bool),
-        cull_r2=jnp.full((n,), 1e9, jnp.float32),
+        cull_qmax=jnp.full((n,), 1e9, jnp.float32),
     )
     bins2 = pb(screen, gx, gy, 1 << 12)
     sorted_out = rp.blend_tiles_pallas(screen, bins2, gx, gy, 16)
