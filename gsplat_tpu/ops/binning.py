@@ -181,16 +181,10 @@ def bin_gaussians(
             screen.rect_min[:, 1].astype(jnp.float32),
             rect_w_all.astype(jnp.float32),
             iota.astype(jnp.float32),  # == gaussian id after the row-gather
-            screen.mean2d[:, 0],
-            screen.mean2d[:, 1],
-            screen.cull_qmax,
-            screen.conic[:, 0],
-            screen.conic[:, 1],
-            screen.conic[:, 2],
         ],
         axis=1,
-    )  # (N, 11) all-f32 (integer columns < 2^24, exact)
-    pre_o = pre[order]  # (N, 11) single row-gather; col 4 becomes order[i]
+    )  # (N, 5) all-f32 integer-valued columns (< 2^24, exact)
+    pre_o = pre[order]  # (N, 5) single row-gather; col 4 becomes order[i]
 
     tiles_i = pre_o[:, 0].astype(jnp.int32)
     cum = jnp.cumsum(tiles_i)  # inclusive
@@ -204,18 +198,18 @@ def bin_gaussians(
     # per-slot gather (row-rate bound, ~17ns/row on TPU): scatter each
     # gaussian's attribute DELTA at its run-start slot, then one cumsum down
     # the slot axis telescopes the deltas back into per-slot attribute rows.
-    # Integer-valued f32 columns are exact under the cumsum (< 2^24); the
-    # mean2d/conic/cull columns pick up bounded rounding drift, absorbed by the
-    # tight-cull margin (projection.py).
+    # All columns are integer-valued f32 (< 2^24), exact under the cumsum;
+    # real-valued cull inputs are gathered separately by gid (below) so the
+    # reconstruction introduces no rounding drift anywhere.
     tbl = pre_o.at[:, 0].set(jnp.minimum(cum_excl, 1 << 24).astype(jnp.float32))
-    delta = jnp.concatenate([tbl[:1], tbl[1:] - tbl[:-1]], axis=0)  # (N, 11)
+    delta = jnp.concatenate([tbl[:1], tbl[1:] - tbl[:-1]], axis=0)  # (N, 5)
     # live rows own slots [cum_excl, cum); dead rows pile their deltas onto
     # slot `total` (or drop past capacity) — both only touch invalid slots
     start_slot = jnp.where(cum_excl < capacity, cum_excl, capacity)
-    grid = jnp.zeros((capacity + 1, 11), jnp.float32).at[start_slot].add(
+    grid = jnp.zeros((capacity + 1, 5), jnp.float32).at[start_slot].add(
         delta, mode="drop"
     )
-    rows = jnp.cumsum(grid[:capacity], axis=0)  # (K, 11)
+    rows = jnp.cumsum(grid[:capacity], axis=0)  # (K, 5)
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     local = slots - rows[:, 0].astype(jnp.int32)
@@ -227,15 +221,29 @@ def bin_gaussians(
     # --- tight cull: drop instances provably invisible in their tile
     # (max alpha over the tile's pixel box < 1/255 -> the per-pixel blend
     # skips them everywhere, forward and backward; see cull_qmax derivation
-    # in projection.py and the exact box minimum in _conic_box_qmin)
+    # in projection.py and the exact box minimum in _conic_box_qmin).
+    # The cull inputs are gathered EXACTLY by owner gid (col 4 is integer-
+    # exact through the cumsum) rather than riding the delta-cumsum, so the
+    # decision is bitwise identical to pack_bins' — drift-reconstructed
+    # inputs once flipped borderline instances between execution layouts
+    # (single-device vs sharded pipeline).
     valid = slots < jnp.minimum(total, capacity)
     if tight_cull:
+        gid_owner = rows[:, 4].astype(jnp.int32)
+        cull_tbl = jnp.stack(
+            [
+                screen.mean2d[:, 0], screen.mean2d[:, 1], screen.cull_qmax,
+                screen.conic[:, 0], screen.conic[:, 1], screen.conic[:, 2],
+            ],
+            axis=1,
+        )[gid_owner]  # (K, 6) one row-gather (test/oracle path; ~17ns/row)
         qmin = _conic_box_qmin(
-            rows[:, 5], rows[:, 6], rows[:, 8], rows[:, 9], rows[:, 10],
+            cull_tbl[:, 0], cull_tbl[:, 1],
+            cull_tbl[:, 3], cull_tbl[:, 4], cull_tbl[:, 5],
             (tx * tile).astype(jnp.float32), (ty * tile).astype(jnp.float32),
             float(tile),
         )
-        valid = valid & (qmin <= rows[:, 7])
+        valid = valid & (qmin <= cull_tbl[:, 2])
     tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
     gid = jnp.where(valid, rows[:, 4], 0).astype(jnp.int32)
 

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Collect the round-3 full_eval sweep into committed artifacts.
+
+Copies per-scene results.json / per_view.json, extracts train curves from
+the tensorboard event files, grabs N render|gt pairs per scene, and writes
+a summary table against the reference's published NeRF-synthetic numbers
+(/root/reference/results.md — PSNR at 7k/30k)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+OUT = "output/full_eval_r3"
+ART = "artifacts/full_eval_r3"
+
+# reference-class PSNR: the upstream results.md publishes charts (images)
+# rather than numbers; these are the 3DGS paper's NeRF-synthetic 30k table,
+# which those charts track
+REF_30K = {
+    "chair": 35.82, "drums": 26.17, "ficus": 34.83, "hotdog": 37.67,
+    "lego": 35.69, "materials": 30.00, "mic": 35.34, "ship": 30.87,
+}
+
+N_PAIRS = 2
+
+
+def curves(scene_dir):
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+    except Exception:
+        return None
+    pts = []
+    for f in sorted(os.listdir(scene_dir)):
+        if not f.startswith("events.out"):
+            continue
+        acc = EventAccumulator(os.path.join(scene_dir, f))
+        acc.Reload()
+        for tag in acc.Tags().get("scalars", []):
+            if tag.endswith("loss_ema") or tag == "train_loss_patches/total_loss":
+                pts += [(e.step, e.value) for e in acc.Scalars(tag)]
+    pts.sort()
+    return pts or None
+
+
+def main():
+    os.makedirs(ART, exist_ok=True)
+    rows = []
+    for scene in sorted(os.listdir(OUT)):
+        sdir = os.path.join(OUT, scene)
+        rj = os.path.join(sdir, "results.json")
+        if not os.path.isdir(sdir) or not os.path.exists(rj):
+            continue
+        adir = os.path.join(ART, scene)
+        os.makedirs(adir, exist_ok=True)
+        shutil.copy(rj, adir)
+        pv = os.path.join(sdir, "per_view.json")
+        if os.path.exists(pv):
+            shutil.copy(pv, adir)
+        res = json.load(open(rj))
+        for method, m in sorted(res.items()):
+            rows.append((scene, method.replace("ours_", ""), m["PSNR"], m["SSIM"]))
+        # render|gt pairs from the highest-iteration test set
+        tdir = os.path.join(sdir, "test")
+        if os.path.isdir(tdir):
+            best = sorted(os.listdir(tdir))[-1]
+            rdir = os.path.join(tdir, best, "renders")
+            gdir = os.path.join(tdir, best, "gt")
+            if os.path.isdir(rdir):
+                for name in sorted(os.listdir(rdir))[:N_PAIRS]:
+                    shutil.copy(os.path.join(rdir, name),
+                                os.path.join(adir, f"render_{best}_{name}"))
+                    g = os.path.join(gdir, name)
+                    if os.path.exists(g):
+                        shutil.copy(g, os.path.join(adir, f"gt_{name}"))
+        c = curves(sdir)
+        if c:
+            with open(os.path.join(adir, "train_curve.json"), "w") as f:
+                json.dump(c, f)
+
+    lines = [
+        "# Round-3 full NeRF-synthetic sweep",
+        "",
+        "All 8 bundled scenes; chair/ship at 30k (late-converging — see the",
+        "round-2 chair question), the rest at 7k unless noted. LPIPS is",
+        '"weights_unavailable" (no VGG weights obtainable on this image;',
+        "conversion path proven in tests/test_lpips.py).",
+        "",
+        "| scene | iters | PSNR | SSIM | 3DGS paper PSNR (30k) |",
+        "|---|---|---|---|---|",
+    ]
+    for scene, it, psnr, ssim in rows:
+        ref = REF_30K.get(scene)
+        lines.append(
+            f"| {scene} | {it} | {psnr:.2f} | {ssim:.4f} | "
+            f"{ref if ref is not None else '—'} |"
+        )
+    with open(os.path.join(ART, "SUMMARY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

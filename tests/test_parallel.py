@@ -153,7 +153,12 @@ def test_sharded_train_step_matches_single_device(setup, mesh_shape):
     for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
         a = np.asarray(getattr(sh_state.params, name))
         b = np.asarray(getattr(ref_state.params, name))
-        np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f"params.{name}")
+        # atol headroom beyond pure f32 noise: the pipeline blends each band
+        # in a shifted frame (mean2d - row0_px, rounded), so an instance
+        # whose conic-cull Q sits exactly at the 1/255-threshold boundary
+        # can flip in/out vs the single-device frame; a flipped instance
+        # contributes < ~1/255 alpha, bounding the delta to ~1e-5
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=f"params.{name}")
     np.testing.assert_allclose(
         np.asarray(sh_state.stats["grad_accum"]),
         np.asarray(ref_state.stats["grad_accum"]),
@@ -196,7 +201,12 @@ def test_pipeline_train_step_matches_single_device(setup):
     for name in ("xyz", "opacity", "scaling", "rotation", "features_dc"):
         a = np.asarray(getattr(sh_state.params, name))
         b = np.asarray(getattr(ref_state.params, name))
-        np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f"params.{name}")
+        # atol headroom beyond pure f32 noise: the pipeline blends each band
+        # in a shifted frame (mean2d - row0_px, rounded), so an instance
+        # whose conic-cull Q sits exactly at the 1/255-threshold boundary
+        # can flip in/out vs the single-device frame; a flipped instance
+        # contributes < ~1/255 alpha, bounding the delta to ~1e-5
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=f"params.{name}")
     np.testing.assert_allclose(
         np.asarray(sh_state.stats["grad_accum"]),
         np.asarray(ref_state.stats["grad_accum"]),
