@@ -114,6 +114,14 @@ def _conic_box_qmin(mx, my, a, b, c, x0, y0, tile):
     Dead/padding rows may carry a == c == 0: the divisions then produce
     non-finite Qs whose compares are False — callers must gate validity
     independently (they do: coverage/live masks).
+
+    Returns a CONSERVATIVE LOWER BOUND of the minimum: for near-degenerate
+    conics (b^2 -> a*c) the three edge terms cancel — each can be
+    cond(conic) times the result — so a fixed threshold margin cannot
+    cover the f32 rounding. The bound subtracts an error allowance
+    proportional to the terms' magnitudes (~80 ulps over the ~10-op
+    chain), which also dominates the blend kernel's own rounding of
+    `power` at the max-alpha pixel (same magnitude class).
     """
     dx0 = x0 - mx
     dx1 = dx0 + (tile - 1.0)
@@ -123,11 +131,22 @@ def _conic_box_qmin(mx, my, a, b, c, x0, y0, tile):
     dyc = jnp.clip(0.0, dy0, dy1)
     # near-x edge (dx = dxc): dQ/ddy = b*dx + c*dy = 0 -> dy* = -b*dxc/c
     dyx = jnp.clip(-(b / c) * dxc, dy0, dy1)
-    qx = 0.5 * a * dxc * dxc + b * dxc * dyx + 0.5 * c * dyx * dyx
+    t1 = 0.5 * a * dxc * dxc
+    t2 = b * dxc * dyx
+    t3 = 0.5 * c * dyx * dyx
+    qx = (t1 + t2) + t3
+    mag_x = (jnp.abs(t1) + jnp.abs(t2)) + jnp.abs(t3)
     # near-y edge (dy = dyc): dx* = -b*dyc/a
     dxy = jnp.clip(-(b / a) * dyc, dx0, dx1)
-    qy = 0.5 * a * dxy * dxy + b * dxy * dyc + 0.5 * c * dyc * dyc
-    return jnp.minimum(qx, qy)
+    u1 = 0.5 * a * dxy * dxy
+    u2 = b * dxy * dyc
+    u3 = 0.5 * c * dyc * dyc
+    qy = (u1 + u2) + u3
+    mag_y = (jnp.abs(u1) + jnp.abs(u2)) + jnp.abs(u3)
+    take_x = qx <= qy
+    qmin = jnp.where(take_x, qx, qy)
+    mag = jnp.where(take_x, mag_x, mag_y)
+    return qmin - 1e-5 * mag
 
 
 def _rank_table(boundaries, size: int):
@@ -373,11 +392,12 @@ def _expand_kernel(grid_x, tile, num_tiles, tight_cull, w0_ref, tbl_ref,
         my = rows[_T_ATTR0 + 1 : _T_ATTR0 + 2, :]
         # attr conic rows ride FOLDED as [-a/2, -b, -c/2]; unfold with exact
         # power-of-two/negation scalings so the cull sees the true conic
-        a = -2.0 * rows[_T_ATTR0 + 2 : _T_ATTR0 + 3, :]
-        b = -rows[_T_ATTR0 + 3 : _T_ATTR0 + 4, :]
-        c = -2.0 * rows[_T_ATTR0 + 4 : _T_ATTR0 + 5, :]
+        # (cu/etc: `c` is this kernel's grid index)
+        au = -2.0 * rows[_T_ATTR0 + 2 : _T_ATTR0 + 3, :]
+        bu = -rows[_T_ATTR0 + 3 : _T_ATTR0 + 4, :]
+        cu = -2.0 * rows[_T_ATTR0 + 4 : _T_ATTR0 + 5, :]
         qmin = _conic_box_qmin(
-            mx, my, a, b, c, tx * float(tile), ty * float(tile), float(tile)
+            mx, my, au, bu, cu, tx * float(tile), ty * float(tile), float(tile)
         )
         valid = valid & (qmin <= rows[_T_CULL : _T_CULL + 1, :])
 

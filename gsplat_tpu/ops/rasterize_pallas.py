@@ -137,6 +137,42 @@ def _range_cols(start_ref, end_ref, first, pair, rows):
     return s_col, e_col
 
 
+def _pair_bases(first, grid_x, tile, pair, px, py):
+    """Per-tile origins and block-diagonal local pixel-basis columns for a
+    pair of adjacent tiles, shared by the sorted and OIT backward kernels.
+
+    Each tile of the pair gets its OWN 6 basis columns [1, x, y, x^2, xy,
+    y^2] in tile-local coordinates, masked to its rows — so ONE moment
+    matmul yields every tile's moments against its own origin (mixing
+    origins in one contraction would break the recombination, and per-tile
+    matmuls would double the dispatch count). Tile origins are exact small
+    ints."""
+    half = jax.lax.broadcasted_iota(jnp.int32, (px.shape[0], 1), 0) // PPT
+    oxs, oys, cols = [], [], []
+    for i in range(pair):
+        tix = first + i
+        oxi = ((tix % grid_x) * tile).astype(jnp.float32)
+        oyi = ((tix // grid_x) * tile).astype(jnp.float32)
+        oxs.append(oxi)
+        oys.append(oyi)
+        m = half == i
+        one = jnp.where(m, 1.0, 0.0)
+        pxl = jnp.where(m, px - oxi, 0.0)  # in [0, tile) on this tile's rows
+        pyl = jnp.where(m, py - oyi, 0.0)
+        cols += [one, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl]
+    return oxs, oys, cols
+
+
+def _drain_writes(cur, wr_wait):
+    """Wait out the (up to _WBUF) gradient writes still in flight — the
+    final grid invocation of both backward kernels must call this."""
+    w = cur[_WCNT]
+    for j in range(1, _WBUF + 1):
+        @pl.when(w >= j)
+        def _(j=j):
+            wr_wait((w - j) % _WBUF)
+
+
 def _chunk_blend(blk, px, py, t_raw, lo, hi):
     """Shared fwd/bwd per-chunk math. Returns dict of (256,128) quantities.
 
@@ -488,26 +524,7 @@ def _bwd_kernel(
     nctotal = pl.cdiv(total, CHUNK)
     px, py = _pixel_coords(first, grid_x, tile, rows)
     s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
-    half = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // PPT
-
-    # Tile-local pixel polynomial bases for the gradient moments (see the
-    # moment computation in live_body); tile origins are exact small ints.
-    # Each tile of the pair gets its OWN 6 basis columns, masked to its rows
-    # (block-diagonal), so ONE matmul yields every tile's moments against its
-    # own origin — mixing origins in one contraction would break the
-    # recombination, and per-tile matmuls would double the dispatch count.
-    oxs, oys, basis_cols = [], [], []
-    for i in range(pair):
-        tix = first + i
-        oxi = ((tix % grid_x) * tile).astype(jnp.float32)
-        oyi = ((tix // grid_x) * tile).astype(jnp.float32)
-        oxs.append(oxi)
-        oys.append(oyi)
-        m = half == i
-        one = jnp.where(m, 1.0, 0.0)
-        pxl = jnp.where(m, px - oxi, 0.0)  # in [0, 16) on this tile's rows
-        pyl = jnp.where(m, py - oyi, 0.0)
-        basis_cols += [one, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl]
+    oxs, oys, basis_cols = _pair_bases(first, grid_x, tile, pair, px, py)
 
     dpix = dout_ref[0, :, 0:4]  # (rows,4) cotangents of [r,g,b,invdepth]
     # loop-invariant LHS of the merged moment/feature matmul (see live_body)
@@ -646,14 +663,10 @@ def _bwd_kernel(
 
     # every chunk is written exactly once, by its last contributing tile; a
     # pending carry always has a later consumer (e < total). Only the final
-    # invocation must drain the (up to _WBUF) writes still in flight.
+    # invocation must drain the writes still in flight.
     @pl.when(p == num_pairs - 1)
     def _():
-        w = cur[_WCNT]
-        for j in range(1, _WBUF + 1):
-            @pl.when(w >= j)
-            def _(j=j):
-                wr_wait((w - j) % _WBUF)
+        _drain_writes(cur, wr_wait)
 
 
 def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y,
@@ -834,20 +847,7 @@ def _oit_bwd_kernel(
     nctotal = pl.cdiv(total, CHUNK)
     px, py = _pixel_coords(first, grid_x, tile, rows)
     s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
-    half = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // PPT
-
-    oxs, oys, basis_cols = [], [], []
-    for i in range(pair):
-        tix = first + i
-        oxi = ((tix % grid_x) * tile).astype(jnp.float32)
-        oyi = ((tix // grid_x) * tile).astype(jnp.float32)
-        oxs.append(oxi)
-        oys.append(oyi)
-        m = half == i
-        one = jnp.where(m, 1.0, 0.0)
-        pxl = jnp.where(m, px - oxi, 0.0)
-        pyl = jnp.where(m, py - oyi, 0.0)
-        basis_cols += [one, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl]
+    oxs, oys, basis_cols = _pair_bases(first, grid_x, tile, pair, px, py)
 
     dN = dout_ref[0, :, 0:4]  # (rows,4) cotangents of the raw sums N
     dD = dout_ref[0, :, 4:5]  # (rows,1)
@@ -946,11 +946,7 @@ def _oit_bwd_kernel(
 
     @pl.when(p == num_pairs - 1)
     def _():
-        w = cur[_WCNT]
-        for j in range(1, _WBUF + 1):
-            @pl.when(w >= j)
-            def _(j=j):
-                wr_wait((w - j) % _WBUF)
+        _drain_writes(cur, wr_wait)
 
 
 def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
@@ -1152,10 +1148,10 @@ def blend_tiles_pallas(
     # arrays get float0 cotangents): closing over them instead would leak
     # tracers when the VJP is pulled through an outer transform's transpose
     # (shard_map autodiff re-traces the backward in a different trace).
+    pair = TILES_PER_STEP if tiles_per_step is None else tiles_per_step
     if blend_mode == "oit":
         # the custom VJP wraps only the RAW commutative sums (N, D, T); the
         # quotient/compositing below is plain jnp, autodiffed for free
-        pair = TILES_PER_STEP if tiles_per_step is None else tiles_per_step
         blend = _make_oit_vjp(grid_x, grid_y, tile, pair)
         out = blend(
             screen.mean2d, screen.conic, screen.opacity, screen.rgb,
@@ -1173,7 +1169,6 @@ def blend_tiles_pallas(
             overflow=jnp.zeros((), jnp.int32),
         )
 
-    pair = TILES_PER_STEP if tiles_per_step is None else tiles_per_step
     blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib, pair)
     out = blend(
         screen.mean2d, screen.conic, screen.opacity, screen.rgb, inv_depth_all,

@@ -67,7 +67,8 @@ def main():
         # render|gt pairs from the highest-iteration test set
         tdir = os.path.join(sdir, "test")
         if os.path.isdir(tdir):
-            best = sorted(os.listdir(tdir))[-1]
+            # numeric, not lexicographic: 'ours_7000' > 'ours_30000' as strings
+            best = max(os.listdir(tdir), key=lambda d: int(d.rsplit("_", 1)[-1]))
             rdir = os.path.join(tdir, best, "renders")
             gdir = os.path.join(tdir, best, "gt")
             if os.path.isdir(rdir):

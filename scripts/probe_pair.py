@@ -75,7 +75,10 @@ def time_step(params, alive, camera, settings, pair, iters=8):
         print(json.dumps({"discarded_fake_fast_ms": round(ms, 3), "pair": pair}),
               flush=True)
         time.sleep(2.0)
-    return ms
+    raise RuntimeError(
+        f"fake-fast readings persisted through 4 attempts (last {ms:.3f}ms < "
+        f"{FLOOR_MS}ms floor) — do not trust this session's timings"
+    )
 
 
 def run(n, pairs=(1, 2, 4)):

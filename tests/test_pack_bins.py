@@ -154,6 +154,7 @@ def test_tight_cull_is_conservative(scene_kind):
     worst = 0.0
     for t, g in culled:
         tx, ty = t % gx, t // gx
+        # float64 ground truth
         dx = (tx * 16 + PX).astype(np.float64) - s.mean2d[g, 0]
         dy = (ty * 16 + PY).astype(np.float64) - s.mean2d[g, 1]
         a, b_, c = s.conic[g]
@@ -164,6 +165,20 @@ def test_tight_cull_is_conservative(scene_kind):
         assert not contrib.any(), (
             f"culled instance (tile {t}, gid {g}) has a contributing pixel "
             f"(max alpha {alpha.max()})"
+        )
+        # f32 in the BLEND KERNEL's exact association order (folded conic,
+        # (ca*dx*dx + cc*dy*dy) + cb*dx*dy) — conservativeness must hold
+        # against the alpha the kernel actually computes, not just the
+        # real-arithmetic one
+        f32 = np.float32
+        dx32 = f32(f32(tx * 16) + PX.astype(f32)) - f32(s.mean2d[g, 0])
+        dy32 = f32(f32(ty * 16) + PY.astype(f32)) - f32(s.mean2d[g, 1])
+        ca, cb, cc = f32(-0.5) * f32(a), f32(-b_), f32(-0.5) * f32(c)
+        p32 = (ca * dx32 * dx32 + cc * dy32 * dy32) + cb * dx32 * dy32
+        al32 = np.minimum(f32(s.opacity[g]) * np.exp(p32), f32(ALPHA_MAX))
+        assert not ((p32 <= 0.0) & (al32 >= f32(ALPHA_MIN))).any(), (
+            f"culled instance (tile {t}, gid {g}) contributes under the "
+            f"kernel's f32 rounding (max alpha {al32.max()})"
         )
     assert worst < ALPHA_MIN
 
