@@ -88,6 +88,64 @@ def probe_instance_capacity(params, alive, cams, settings_probe=None):
     return peak
 
 
+def probe_exchange_capacity(
+    params, alive, cams, n_gauss_shards, n_tile_shards, tile=16
+):
+    """Peak per-(gaussian-shard, tile-band) band-intersect row count.
+
+    Sizes the band-bucketed packet exchange (`parallel/pipeline.py`,
+    `exchange_capacity`): each gaussian shard compacts its local rows to the
+    ones whose tile rect intersects the destination device's band of tile
+    rows before the all_gather. The compiled capacity must hold the largest
+    such compacted set over every (shard, band) pair and camera. Shards are
+    contiguous row blocks of the padded capacity axis (how
+    `place_train_state` lays them out), so the probe reshapes to
+    (G, capacity/G) and counts per block exactly.
+    """
+    from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.ops.projection import preprocess
+
+    settings = make_render_settings(
+        sh_degree=0, instance_capacity=1, max_per_tile=1
+    )
+    cap = params.capacity
+    g = n_gauss_shards
+    assert cap % g == 0, (cap, g)
+    groups = {}
+    for cam in cams:
+        groups.setdefault((cam.camera.width, cam.camera.height), []).append(
+            cam.camera
+        )
+    peak = 0
+    for (w, h), group in groups.items():
+        gx = (w + tile - 1) // tile
+        gy = (h + tile - 1) // tile
+        gy_local = (gy + n_tile_shards - 1) // n_tile_shards
+        batch = jax.tree.map(lambda *ls: jax.numpy.stack(ls), *group)
+
+        @jax.jit
+        def probe_all(p, a, b, gx=gx, gy=gy, gy_local=gy_local):
+            def one(c):
+                s = preprocess(p, a, c, settings, gx, gy)
+                rmin_y = s.rect_min[:, 1]
+                rmax_y = s.rect_max[:, 1]
+                row0 = jax.numpy.arange(n_tile_shards) * gy_local
+                inter = (
+                    s.mask[None, :]
+                    & (rmin_y[None, :] < (row0 + gy_local)[:, None])
+                    & (rmax_y[None, :] > row0[:, None])
+                )  # (bands, cap)
+                per_shard = inter.reshape(n_tile_shards, g, cap // g).sum(
+                    axis=-1
+                )
+                return per_shard.max()
+
+            return jax.lax.map(one, b).max()
+
+        peak = max(peak, int(probe_all(params, alive, batch)))
+    return peak
+
+
 class CapacityController:
     """Grow/shrink policy for a compiled row capacity during training.
 

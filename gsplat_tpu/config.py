@@ -63,6 +63,17 @@ class PipelineConfig:
     # (`parallel/sharding.py`); "" = single device. G*T must equal the
     # visible device count.
     mesh: str = ""
+    # Band-bucketed screen-packet exchange for --mesh runs
+    # (parallel/pipeline.py): each gaussian shard compacts its packets to
+    # the destination tile band BEFORE the all_gather, cutting both ICI
+    # bytes and every post-gather binning stage to the band's working set.
+    # -1 -> auto (probe the scene, default ON); 0 -> full gather;
+    # >0 -> fixed per-shard row capacity. Undersizing surfaces as the
+    # band_overflow metric and auto-grows like the instance buffer.
+    exchange_capacity: int = -1
+    # Instance-packet dtype for the Pallas blend DMA + sort payload:
+    # "float32" (default) | "bfloat16" (halves both)
+    packet_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -187,7 +187,11 @@ def read_cameras_text(path) -> dict:
 def read_images_text(path) -> dict:
     out = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+        # keep blank lines: an image with zero 2D points has an EMPTY
+        # second line, and dropping it would shift the 2-line pairing
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    while lines and not lines[0]:
+        lines.pop(0)
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         image_id = int(parts[0])
@@ -206,6 +210,145 @@ def read_images_text(path) -> dict:
             pids = np.zeros((0,), np.int64)
         out[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name, xys, pids)
     return out
+
+
+def write_cameras_binary(cameras: dict, path) -> None:
+    """Inverse of `read_cameras_binary` (reference
+    `utils/read_write_model.py:133-148` write_cameras_binary)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cameras)))
+        for cam in cameras.values():
+            model_id = _NAME_TO_ID[cam.model]
+            f.write(struct.pack("<iiQQ", cam.id, model_id, cam.width, cam.height))
+            f.write(np.asarray(cam.params, "<f8").tobytes())
+
+
+def write_cameras_text(cameras: dict, path) -> None:
+    """Inverse of `read_cameras_text` (`read_write_model.py:106-131`)."""
+    with open(path, "w") as f:
+        f.write(
+            "# Camera list with one line of data per camera:\n"
+            "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+            f"# Number of cameras: {len(cameras)}\n"
+        )
+        for cam in cameras.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}\n")
+
+
+def write_images_binary(images: dict, path) -> None:
+    """Inverse of `read_images_binary` (`read_write_model.py:236-256`)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for im in images.values():
+            f.write(struct.pack("<i", im.id))
+            f.write(np.asarray(im.qvec, "<f8").tobytes())
+            f.write(np.asarray(im.tvec, "<f8").tobytes())
+            f.write(struct.pack("<i", im.camera_id))
+            f.write(im.name.encode("utf-8") + b"\x00")
+            n = len(im.point3d_ids)
+            f.write(struct.pack("<Q", n))
+            rec = np.empty((n, 3), "<f8")
+            rec[:, :2] = im.xys
+            # point3D ids ride the double column bit-for-bit (the format
+            # interleaves f64 xy with i64 id per 2D point)
+            rec[:, 2:3].view("<i8")[:, 0] = np.asarray(im.point3d_ids, "<i8")
+            f.write(rec.tobytes())
+
+
+def write_images_text(images: dict, path) -> None:
+    """Inverse of `read_images_text` (`read_write_model.py:207-234`)."""
+    mean_obs = (
+        sum(len(im.point3d_ids) for im in images.values()) / len(images)
+        if images
+        else 0.0
+    )
+    with open(path, "w") as f:
+        f.write(
+            "# Image list with two lines of data per image:\n"
+            "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+            "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+            f"# Number of images: {len(images)}, mean observations per image: {mean_obs}\n"
+        )
+        for im in images.values():
+            head = [im.id, *im.qvec, *im.tvec, im.camera_id, im.name]
+            f.write(" ".join(map(str, head)) + "\n")
+            pts = [
+                f"{x} {y} {pid}"
+                for (x, y), pid in zip(im.xys, im.point3d_ids)
+            ]
+            f.write(" ".join(pts) + "\n")
+
+
+def write_points3d_binary(xyz, rgb, err, path, ids=None, tracks=None) -> None:
+    """Inverse of `read_points3d_binary` (`read_write_model.py:338-352`).
+
+    `ids` defaults to 1..N; `tracks` is an optional list of (image_id,
+    point2d_idx) int arrays per point (written empty when absent — the
+    subset our reader consumes ignores tracks by design)."""
+    xyz = np.asarray(xyz, np.float64)
+    rgb = np.asarray(rgb, np.uint8)
+    err = np.asarray(err, np.float64)
+    n = len(xyz)
+    if ids is None:
+        ids = np.arange(1, n + 1)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            f.write(struct.pack("<Q", int(ids[i])))
+            f.write(xyz[i].astype("<f8").tobytes())
+            f.write(rgb[i].astype("u1").tobytes())
+            f.write(struct.pack("<d", float(err[i])))
+            track = tracks[i] if tracks is not None else ()
+            f.write(struct.pack("<Q", len(track)))
+            for img_id, p2d_idx in track:
+                f.write(struct.pack("<ii", int(img_id), int(p2d_idx)))
+
+
+def write_points3d_text(xyz, rgb, err, path, ids=None, tracks=None) -> None:
+    """Inverse of `read_points3d_text` (`read_write_model.py:304-336`)."""
+    xyz = np.asarray(xyz, np.float64)
+    rgb = np.asarray(rgb, np.uint8)
+    err = np.asarray(err, np.float64)
+    n = len(xyz)
+    if ids is None:
+        ids = np.arange(1, n + 1)
+    with open(path, "w") as f:
+        f.write(
+            "# 3D point list with one line of data per point:\n"
+            "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+            "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+            f"# Number of points: {n}, mean track length: 0\n"
+        )
+        for i in range(n):
+            track = tracks[i] if tracks is not None else ()
+            tail = " ".join(f"{int(a)} {int(b)}" for a, b in track)
+            f.write(
+                f"{int(ids[i])} {xyz[i, 0]} {xyz[i, 1]} {xyz[i, 2]} "
+                f"{rgb[i, 0]} {rgb[i, 1]} {rgb[i, 2]} {err[i]}"
+                + (f" {tail}" if tail else "")
+                + "\n"
+            )
+
+
+def write_model(cameras: dict, images: dict, points, path, ext=".bin") -> None:
+    """Write a full sparse model dir (cameras/images/points3D), `.bin` or
+    `.txt` — the reference's `write_model` (`read_write_model.py:446-458`).
+    `points` is the reader's (xyz, rgb, err) triple."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    xyz, rgb, err = points
+    if ext == ".bin":
+        write_cameras_binary(cameras, os.path.join(path, "cameras.bin"))
+        write_images_binary(images, os.path.join(path, "images.bin"))
+        write_points3d_binary(xyz, rgb, err, os.path.join(path, "points3D.bin"))
+    elif ext == ".txt":
+        write_cameras_text(cameras, os.path.join(path, "cameras.txt"))
+        write_images_text(images, os.path.join(path, "images.txt"))
+        write_points3d_text(xyz, rgb, err, os.path.join(path, "points3D.txt"))
+    else:
+        raise ValueError(f"ext must be '.bin' or '.txt', got {ext!r}")
 
 
 def read_points3d_text(path):

@@ -85,7 +85,9 @@ def _check_f32_exact_limits(n: int, capacity: int) -> None:
     if capacity > (1 << 24):
         raise ValueError(
             f"instance capacity {capacity} exceeds the f32-exact ceiling 2^24; "
-            "shard the gaussian axis instead (parallel/pipeline.py)"
+            "either lower instance_capacity to <= 2^24 (dropped instances "
+            "then surface via the overflow counter) or shard the gaussian "
+            "axis (parallel/pipeline.py)"
         )
     if n > (1 << 24):
         raise ValueError(

@@ -276,9 +276,11 @@ def _read_protocol(inst_ref, scr, sems, cur, nctotal):
 
     def fetch(g):
         """Ensure chunk g is resident; keep up to _NBUF-1 chunks in flight
-        ahead of it (slot g+_NBUF-1 reuses slot g's buffer only after g+...
-        has been consumed — sequential consumption guarantees it). Returns
-        the VMEM slot holding chunk g."""
+        ahead of it. Chunk g+_NBUF is the one that reuses slot g's buffer
+        ((g+_NBUF) % _NBUF == g % _NBUF), and it is first issued from
+        fetch(g+1) — after chunk g has been consumed, so sequential
+        consumption guarantees the reuse is safe. Returns the VMEM slot
+        holding chunk g."""
 
         def issue_body(nxt):
             issue(nxt)

@@ -104,7 +104,13 @@ def _reduce_kernel(n_pad, w0_ref, blk_ref, out_ref, ring, stage, sems, cur):
 
     blk = blk_ref[...]  # (16, 512) f32: rows 0..9 grads, row 10 gid
     gid_row = blk[_ROW_GID : _ROW_GID + 1, :]  # (1, 512)
-    chunk_max = jnp.max(gid_row).astype(jnp.int32)
+    # clamp: a contract-violating gid >= n_pad would otherwise keep
+    # win_cond true while skip-ahead pins the window at n_pad — an
+    # infinite loop (device hang). Clamped, out-of-range ids degrade to
+    # dropped work instead.
+    chunk_max = jnp.minimum(
+        jnp.max(gid_row).astype(jnp.int32), jnp.int32(n_pad - 1)
+    )
     w0 = jnp.maximum(w0_ref[c], cur[_CUR_FLUSHED])
 
     def win_cond(st):

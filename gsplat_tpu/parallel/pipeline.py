@@ -108,6 +108,7 @@ def make_sharded_render(
         radii = screen.radius
         row0_band = jax.lax.axis_index("tile") * gy_local
         band_overflow = jnp.zeros((), jnp.int32)
+        band_count = jnp.zeros((), jnp.int32)
 
         if exchange_capacity is not None:
             # band-bucketed exchange: keep only rows whose rect intersects
@@ -136,7 +137,13 @@ def make_sharded_render(
                 mask=screen.mask & slot_live,
                 tiles_touched=jnp.where(slot_live, screen.tiles_touched, 0),
             )
-            band_overflow = jnp.maximum(count - exchange_capacity, 0)
+            # reduce over the gaussian axes NOW: these are per-gauss-shard
+            # quantities, and the P("tile") out_spec is only well-defined
+            # for values invariant along the unmentioned 'gauss' axis
+            band_overflow = jax.lax.psum(
+                jnp.maximum(count - exchange_capacity, 0), gaxes
+            )
+            band_count = jax.lax.pmax(count, gaxes)
 
         # MemTile-join analogue: gather the compact screen packets from all
         # gaussian shards (innermost axis first: ICI before DCN when
@@ -179,6 +186,7 @@ def make_sharded_render(
         return (
             img, invd_img, radii,
             (bins.overflow + band_overflow)[None], bins.num_instances[None],
+            band_overflow[None], band_count[None],
         )
 
     pspec = param_spec(gaxes)
@@ -187,7 +195,10 @@ def make_sharded_render(
         local_render_shifted,
         mesh=mesh,
         in_specs=(pspec, gspec, gspec, P(), P()),
-        out_specs=(P("tile"), P("tile"), gspec, P("tile"), P("tile")),
+        out_specs=(
+            P("tile"), P("tile"), gspec, P("tile"), P("tile"),
+            P("tile"), P("tile"),
+        ),
         check_vma=False,
     )
 
@@ -197,7 +208,7 @@ def make_sharded_render(
     ):
         if mean2d_offset is None:
             mean2d_offset = jnp.zeros((params.capacity, 2), jnp.float32)
-        img, invd, radii, overflow, ninst = sharded(
+        img, invd, radii, overflow, ninst, b_of, b_cnt = sharded(
             params, alive, mean2d_offset, camera, bg
         )
         img = img[:height]
@@ -215,6 +226,12 @@ def make_sharded_render(
             "instance_overflow": overflow.sum(),
             "tile_overflow": jnp.zeros((), jnp.int32),
             "num_instances": ninst.sum(),
+            # band-exchange health (0s when exchange_capacity is None):
+            # max-over-bands of compacted rows kept per shard, and rows
+            # dropped for want of exchange capacity — the capacity
+            # controller's (count, overflow) observation pair
+            "band_overflow": b_of.sum(),
+            "band_count": b_cnt.max(),
         }
 
     return render_fn

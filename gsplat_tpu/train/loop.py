@@ -107,7 +107,7 @@ def _device_gt(cam, _cache={}):
 
 
 from gsplat_tpu.capacity import CapacityController, quantize_capacity
-from gsplat_tpu.capacity import probe_instance_capacity
+from gsplat_tpu.capacity import probe_exchange_capacity, probe_instance_capacity
 from gsplat_tpu.train.resize import resize_train_state
 
 
@@ -289,6 +289,7 @@ def train(
             antialiasing=pipe.antialiasing,
             backend=pipe.backend,
             blend_mode=getattr(pipe, "blend_mode", "sorted"),
+            packet_dtype=getattr(pipe, "packet_dtype", "float32"),
         )
 
     mesh = None
@@ -310,10 +311,31 @@ def train(
               f"({len(jax.devices())} devices)")
         state = place_train_state(mesh, state)
 
+    # Band-bucketed packet exchange sizing (parallel/pipeline.py): auto
+    # (-1) probes the scene like the instance buffer; 0 disables (full
+    # gather); >0 fixes it. Its own controller grows it on band_overflow.
+    exch_cfg = getattr(pipe, "exchange_capacity", -1)
+    exch_cap = 0
+    exch_ctl = None
+    if mesh is not None and mesh.shape["tile"] > 1 and exch_cfg != 0:
+        if exch_cfg > 0:
+            exch_cap = exch_cfg
+        else:
+            peak = probe_exchange_capacity(
+                params, alive, train_cams, mesh.shape["gauss"],
+                mesh.shape["tile"],
+            )
+            # small floor: band working sets are a fraction of the shard,
+            # and an oversized exchange buffer makes the gathered set
+            # BIGGER than the full gather it replaces
+            exch_cap = quantize_capacity(int(1.6 * max(peak, 1)), floor=4096)
+            exch_ctl = CapacityController(exch_cap, floor=4096)
+            print(f"[auto] exchange capacity {exch_cap} (probe peak {peak})")
+
     step_cache = {}
 
     def step_fn(active_sh, height, width):
-        key = (active_sh, inst_cap, height, width)
+        key = (active_sh, inst_cap, exch_cap, height, width)
         if key not in step_cache:
             if mesh is not None:
                 # production multi-chip path: the explicit shard_map pipeline
@@ -328,6 +350,7 @@ def train(
                     step_cache[key] = make_pipeline_train_step(
                         mesh, opt, settings_for(active_sh), width, height,
                         use_exposure=use_exposure,
+                        exchange_capacity=exch_cap or None,
                     )
                 else:
                     step_cache[key], _ = sharded_train_step(
@@ -503,6 +526,25 @@ def train(
                 print(
                     f"WARNING it {iteration}: instance buffer overflow "
                     f"{overflow} — raise pipe.instance_capacity",
+                    file=sys.stderr,
+                )
+            if exch_ctl is not None:
+                new_exch = exch_ctl.update(
+                    int(metrics["band_count"]), int(metrics["band_overflow"])
+                )
+                if new_exch is not None:
+                    exch_cap = new_exch
+                    print(
+                        f"[auto] it {iteration}: band rows "
+                        f"{int(metrics['band_count'])} (overflow "
+                        f"{int(metrics['band_overflow'])}) — exchange "
+                        f"capacity -> {exch_cap}"
+                    )
+            elif exch_cap and int(metrics["band_overflow"]) > 0:
+                print(
+                    f"WARNING it {iteration}: band exchange overflow "
+                    f"{int(metrics['band_overflow'])} — raise "
+                    f"pipe.exchange_capacity",
                     file=sys.stderr,
                 )
         t_iter = time.time()

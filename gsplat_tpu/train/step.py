@@ -188,6 +188,10 @@ def make_train_step(
             "num_instances": out["num_instances"],
             "instance_overflow": out["instance_overflow"],
             "tile_overflow": out["tile_overflow"],
+            # band-exchange health; 0 on the single-device / full-gather
+            # paths (see parallel/pipeline.py)
+            "band_overflow": out.get("band_overflow", jnp.int32(0)),
+            "band_count": out.get("band_count", jnp.int32(0)),
             "n_visible": visibility.astype(jnp.int32).sum(),
         }
         return new_state, metrics

@@ -44,8 +44,8 @@ def evaluate(model_paths):
                 "GSPLAT_LPIPS_WEIGHTS is set but the file does not exist: "
                 f"{os.environ['GSPLAT_LPIPS_WEIGHTS']!r}"
             )
-        print("WARNING: LPIPS weights unavailable — reporting LPIPS as "
-              "'weights_unavailable' "
+        print("WARNING: LPIPS weights unavailable — reporting LPIPS as null "
+              "with LPIPS_status='weights_unavailable' "
               "(set GSPLAT_LPIPS_WEIGHTS; see gsplat_tpu/eval/lpips_jax.py)",
               file=sys.stderr)
 
@@ -82,16 +82,19 @@ def evaluate(model_paths):
                 lpips_per_view = dict(zip(names, lpipss))
                 print(f"    LPIPS: {lpips_full:.7f}")
             else:
-                # machine-readable marker (not null): weights genuinely can't
-                # be fetched in a no-egress environment; see module docstring
-                # of gsplat_tpu/eval/lpips_jax.py for how to provide them
-                lpips_full = "weights_unavailable"
-                lpips_per_view = {n: "weights_unavailable" for n in names}
+                # keep LPIPS numeric-or-null so downstream numeric consumers
+                # don't break; the separate status field says why it's null
+                # (see module docstring of gsplat_tpu/eval/lpips_jax.py for
+                # how to provide weights)
+                lpips_full = None
+                lpips_per_view = {n: None for n in names}
             full[method] = {
                 "SSIM": float(np.mean(ssims)),
                 "PSNR": float(np.mean(psnrs)),
                 "LPIPS": lpips_full,
             }
+            if not lpips_j:
+                full[method]["LPIPS_status"] = "weights_unavailable"
             per_view[method] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),

@@ -54,14 +54,19 @@ def main(model_dir="output/full_eval_r3/chair", iteration=30000):
                       "peak_instances": peaks[True],
                       "peak_instances_nocull": peaks[False]}), flush=True)
 
-    # (tight_cull, blend_mode): cull on/off isolates the conic cull's win on
-    # real statistics; the OIT row answers whether no-scan commutative
-    # blending loses its advantage on a CONVERGED scene (sorted early-stops
-    # on saturated pixels, OIT cannot)
-    for tc, mode in ((True, "sorted"), (False, "sorted"), (True, "oit")):
+    # (tight_cull, blend_mode, packet_dtype): cull on/off isolates the conic
+    # cull's win on real statistics; the OIT rows answer whether no-scan
+    # commutative blending loses its advantage on a CONVERGED scene (sorted
+    # early-stops on saturated pixels, OIT cannot); the bf16 rows measure the
+    # sort-payload + DMA saving on real statistics.
+    for tc, mode, pdt in ((True, "sorted", "float32"),
+                          (False, "sorted", "float32"),
+                          (True, "oit", "float32"),
+                          (True, "sorted", "bfloat16"),
+                          (True, "oit", "bfloat16")):
         settings = make_render_settings(
             sh_degree=3, max_per_tile=2048, instance_capacity=round128(peaks[tc]),
-            backend="pallas", tight_cull=tc, blend_mode=mode,
+            backend="pallas", tight_cull=tc, blend_mode=mode, packet_dtype=pdt,
         )
 
         def loss_fn(p, a):
@@ -86,7 +91,7 @@ def main(model_dir="output/full_eval_r3/chair", iteration=30000):
             if ms >= 3.0:
                 break
         print(json.dumps({"tight_cull": tc, "blend_mode": mode,
-                          "fwd_bwd_ms": round(ms, 2),
+                          "packet_dtype": pdt, "fwd_bwd_ms": round(ms, 2),
                           "live_instances": k_live}), flush=True)
 
 

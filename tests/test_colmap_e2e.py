@@ -94,3 +94,41 @@ def test_colmap_train_render_end_to_end(colmap_scene, tmp_path):
 
     img = np.asarray(Image.open(os.path.join(out_dir, "renders", renders[0])))
     assert img.shape == (64, 96, 3) and img.max() > 0
+
+
+def test_model_writer_roundtrip(colmap_scene, tmp_path):
+    """write_model -> read back must reproduce the model exactly, in both
+    binary and text forms (the writer half of the reference's
+    `utils/read_write_model.py:106-521`)."""
+    from gsplat_tpu.data import colmap as C
+
+    src = os.path.join(colmap_scene, "sparse", "0")
+    cams = C.read_cameras_binary(os.path.join(src, "cameras.bin"))
+    imgs = C.read_images_binary(os.path.join(src, "images.bin"))
+    pts = C.read_points3d_binary(os.path.join(src, "points3D.bin"))
+
+    for ext, readers in (
+        (".bin", (C.read_cameras_binary, C.read_images_binary,
+                  C.read_points3d_binary)),
+        (".txt", (C.read_cameras_text, C.read_images_text,
+                  C.read_points3d_text)),
+    ):
+        out = str(tmp_path / ("model" + ext.strip(".")))
+        C.write_model(cams, imgs, pts, out, ext=ext)
+        rc_cams = readers[0](os.path.join(out, "cameras" + ext))
+        rc_imgs = readers[1](os.path.join(out, "images" + ext))
+        rc_pts = readers[2](os.path.join(out, "points3D" + ext))
+        assert set(rc_cams) == set(cams)
+        for cid in cams:
+            assert rc_cams[cid].model == cams[cid].model
+            assert rc_cams[cid].width == cams[cid].width
+            np.testing.assert_allclose(rc_cams[cid].params, cams[cid].params)
+        assert set(rc_imgs) == set(imgs)
+        for iid in imgs:
+            np.testing.assert_allclose(rc_imgs[iid].qvec, imgs[iid].qvec)
+            np.testing.assert_allclose(rc_imgs[iid].tvec, imgs[iid].tvec)
+            assert rc_imgs[iid].name == imgs[iid].name
+            assert rc_imgs[iid].camera_id == imgs[iid].camera_id
+        np.testing.assert_allclose(rc_pts[0], pts[0])
+        np.testing.assert_array_equal(rc_pts[1], pts[1])
+        np.testing.assert_allclose(rc_pts[2], pts[2])

@@ -215,8 +215,9 @@ def test_convert_weights_end_to_end_through_metrics(tmp_path, monkeypatch):
 
 
 def test_metrics_reports_unavailable_marker(tmp_path, monkeypatch):
-    """Without weights, metrics.py must publish the machine-readable
-    'weights_unavailable' marker, never a silent null."""
+    """Without weights, metrics.py must keep LPIPS numeric-or-null (so
+    numeric consumers don't break on a string) and publish the
+    machine-readable status in a separate LPIPS_status field."""
     import json
     import sys
 
@@ -238,4 +239,5 @@ def test_metrics_reports_unavailable_marker(tmp_path, monkeypatch):
     assert rc == 0
     with open(tmp_path / "model" / "results.json") as f:
         results = json.load(f)
-    assert results["ours_1"]["LPIPS"] == "weights_unavailable"
+    assert results["ours_1"]["LPIPS"] is None
+    assert results["ours_1"]["LPIPS_status"] == "weights_unavailable"

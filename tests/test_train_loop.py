@@ -362,3 +362,59 @@ def test_train_loop_sharded_mesh(mini_blender, tmp_path):
     # params actually live sharded on the mesh
     shard_devs = {d for s in state.params.xyz.addressable_shards for d in [s.device]}
     assert len(shard_devs) > 1, "params should be sharded across devices"
+
+
+def test_train_loop_pipeline_band_exchange(mini_blender64, tmp_path, capsys):
+    """On a 64x64 scene (4 tile rows) `--mesh 4x2` takes the explicit
+    shard_map pipeline, and the default exchange_capacity=-1 auto-sizes the
+    band-bucketed packet exchange: training runs through it end to end with
+    no band overflow."""
+    from gsplat_tpu.train.loop import train
+    import gsplat_tpu.data.readers as readers
+
+    model_cfg = ModelConfig(
+        source_path=mini_blender64,
+        model_path=str(tmp_path / "model"),
+        white_background=True,
+        eval=True,
+        sh_degree=1,
+    )
+    opt = OptimizationConfig(
+        iterations=10,
+        densification_interval=8,
+        densify_from_iter=4,
+        densify_until_iter=9,
+        opacity_reset_interval=16,
+    )
+    pipe = PipelineConfig(
+        backend="jnp", instance_capacity=1 << 14, max_per_tile=256,
+        capacity=4096, mesh="4x2",
+    )
+
+    orig = readers.read_blender_scene_info
+
+    def small_scene(path, **kw):
+        info = orig(path, **kw)
+        rng = np.random.default_rng(0)
+        n = 512
+        info.points = (rng.random((n, 3)) * 2.6 - 1.3).astype(np.float32)
+        info.colors = rng.random((n, 3)).astype(np.float32)
+        info.normals = np.zeros((n, 3), np.float32)
+        return info
+
+    readers.read_blender_scene_info = small_scene
+    readers.read_scene_info.__globals__["read_blender_scene_info"] = small_scene
+    try:
+        state, scene, results = train(
+            model_cfg, opt, pipe,
+            testing_iterations=(10,), saving_iterations=(), quiet=True,
+        )
+    finally:
+        readers.read_blender_scene_info = orig
+        readers.read_scene_info.__globals__["read_blender_scene_info"] = orig
+
+    out = capsys.readouterr().out
+    assert "[auto] exchange capacity" in out, "auto-sizing should report"
+    ev = results["test"][10]
+    assert np.isfinite(ev["psnr"]) and ev["psnr"] > 5
+    assert int(state.alive.sum()) > 0
