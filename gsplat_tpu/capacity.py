@@ -49,9 +49,10 @@ def round128(n: int) -> int:
 def probe_instance_capacity(params, alive, cams, settings_probe=None):
     """Peak (gaussian, tile)-instance count over the given cameras.
 
-    Runs only the per-gaussian preprocess (no binning/blend) and sums
-    tiles_touched — exactly the count the instance buffer must hold
-    (capacity is checked pre-cull in `ops/binning.py`).
+    Runs the per-gaussian preprocess (no binning/blend) and sums the
+    POST-cull emission counts (`compute_row_runs`' tiles_post) — exactly
+    what the run-trimmed emission in `ops/binning.py` makes the instance
+    buffer hold.
 
     Cameras are grouped by (width, height) and each group runs as ONE
     jitted `lax.map` over the stacked camera pytrees: per-camera dispatch
@@ -61,6 +62,7 @@ def probe_instance_capacity(params, alive, cams, settings_probe=None):
     preprocess.
     """
     from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.ops.binning import compute_row_runs
     from gsplat_tpu.ops.projection import preprocess
 
     settings = settings_probe or make_render_settings(
@@ -79,10 +81,14 @@ def probe_instance_capacity(params, alive, cams, settings_probe=None):
 
         @jax.jit
         def probe_all(p, a, b, gx=gx, gy=gy):
-            return jax.lax.map(
-                lambda c: preprocess(p, a, c, settings, gx, gy).tiles_touched.sum(),
-                b,
-            ).max()
+            def one(c):
+                screen = preprocess(p, a, c, settings, gx, gy)
+                _, _, _, tiles_post = compute_row_runs(
+                    screen, settings.tile, settings.tight_cull
+                )
+                return tiles_post.sum()
+
+            return jax.lax.map(one, b).max()
 
         peak = max(peak, int(probe_all(params, alive, batch)))
     return peak

@@ -151,6 +151,132 @@ def _conic_box_qmin(mx, my, a, b, c, x0, y0, tile):
     return qmin - 1e-5 * mag
 
 
+# Max rect height (in tile rows) for run-trimmed emission. Taller splats
+# (rare: near-camera blobs) fall back to full-rect emission — the per-row
+# run table must fit a static number of expand-table rows.
+RUN_HMAX = 8
+
+# conservative outward padding of the run interval endpoints: the closed-form
+# solve is ~10 f32 ops whose rounding the cull_qmax margin already dominates,
+# but the endpoints are positions (not Qs), so pad them directly too
+_RUN_PAD_REL = 1.0 + 2.0**-12
+_RUN_PAD_ABS = 2.0**-8  # pixels
+
+
+def compute_row_runs(screen: ScreenGaussians, tile: int, tight_cull: bool):
+    """EXACT per-tile-row emission runs: for each gaussian and each of its
+    first RUN_HMAX rect rows, the interval of tile columns whose 16px box
+    intersects the opacity ellipse {Q <= cull_qmax} restricted to the row's
+    pixel band.
+
+    This makes the conic-metric cull (see `_conic_box_qmin`) an EMISSION
+    rule instead of a post-emission filter: a tile passes the per-tile
+    box-min test iff the box's x-range meets the x-projection of the
+    ellipse slice in the row band (box-min over the box <= qmax iff box
+    intersects the sublevel set; the box's y-range IS the band). The
+    x-projection of the convex slice is one interval whose endpoints are
+    closed-form: the rightmost point of {Q = qmax} lies at
+    dy_pk = -b*rx/c (rx = sqrt(2*qmax*c/det')), and x_right(dy) =
+    (-b*dy + sqrt(2a*qmax - det'*dy^2))/a is concave, so its band maximum
+    sits at clip(dy_pk, band) — one sqrt per endpoint. Everything the
+    reference's duplicateWithKeys emits beyond this (`rasterizer_impl.cu:
+    70-111` emits the whole rect) is provably invisible to the blend
+    (max alpha < 1/255 over the tile), so capacity, the instance sort and
+    the gradient reduction stop paying for it (~19% of a synthetic scene's
+    instances, 31-35% of trained chair/ship — artifacts/bench_trained_r4).
+
+    Returns (t_lo, cum_run, trimmed, tiles_post):
+      t_lo:     (N, RUN_HMAX) f32 integer-valued first tile column per row
+      cum_run:  (N, RUN_HMAX) f32 EXCLUSIVE prefix of run lengths
+                (cum_run[:, k] = instances emitted by rows < k); rows at
+                k >= rect_h carry the gaussian's total
+      trimmed:  (N,) bool — run-trimmed emission applies (else full rect)
+      tiles_post: (N,) int32 post-cull emission count (== tiles_touched
+                for untrimmed rows)
+    All integer-valued outputs are exact in f32 (< 2^24, enforced by
+    `_check_f32_exact_limits` on the cum path).
+    """
+    n = screen.depth.shape[0]
+    rmin = screen.rect_min
+    rmax = screen.rect_max
+    rect_w = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1).astype(jnp.float32)
+    rect_h = (rmax[:, 1] - rmin[:, 1]).astype(jnp.int32)
+    live = screen.tiles_touched > 0
+
+    if not tight_cull:
+        zeros = jnp.zeros((n, RUN_HMAX), jnp.float32)
+        return (
+            zeros,
+            zeros,
+            jnp.zeros((n,), bool),
+            screen.tiles_touched.astype(jnp.int32),
+        )
+
+    a = screen.conic[:, 0]
+    b = screen.conic[:, 1]
+    c = screen.conic[:, 2]
+    mx = screen.mean2d[:, 0]
+    my = screen.mean2d[:, 1]
+    qmax = screen.cull_qmax
+    det = a * c - b * b
+    finite_conic = (a > 0) & (c > 0) & (det > 0)
+    trimmed = live & finite_conic & (rect_h <= RUN_HMAX) & (qmax > 0)
+
+    # guard divisions on untrimmed/dead rows
+    a_s = jnp.where(trimmed, a, 1.0)
+    c_s = jnp.where(trimmed, c, 1.0)
+    det_s = jnp.where(trimmed, det, 1.0)
+    q_s = jnp.where(trimmed, qmax, 1.0)
+
+    rx = jnp.sqrt(2.0 * q_s * c_s / det_s)
+    dy_pk_hi = -(b / c_s) * rx  # dy of the ellipse's rightmost point
+    dy_pk_lo = (b / c_s) * rx
+
+    r_idx = jnp.arange(RUN_HMAX, dtype=jnp.float32)[None, :]  # (1, 8)
+    y0 = (rmin[:, 1].astype(jnp.float32)[:, None] + r_idx) * float(tile)
+    dy0 = y0 - my[:, None]
+    dy1 = dy0 + (tile - 1.0)
+    dyc = jnp.clip(0.0, dy0, dy1)
+    # slice nonempty iff the band meets the ellipse's vertical extent
+    s_c = 2.0 * (a_s * q_s)[:, None] - det_s[:, None] * dyc * dyc
+    row_live = (s_c >= 0.0) & (r_idx < rect_h[:, None].astype(jnp.float32))
+
+    def endpoint(dy_pk, sign):
+        dye = jnp.clip(dy_pk[:, None], dy0, dy1)
+        disc = 2.0 * (a_s * q_s)[:, None] - det_s[:, None] * dye * dye
+        root = jnp.sqrt(jnp.maximum(disc, 0.0)) * _RUN_PAD_REL
+        x = mx[:, None] + (-b[:, None] * dye + sign * root) / a_s[:, None]
+        return x + sign * _RUN_PAD_ABS
+
+    x_hi = endpoint(dy_pk_hi, +1.0)
+    x_lo = endpoint(dy_pk_lo, -1.0)
+
+    # tile T kept iff [T*tile, T*tile + tile-1] meets [x_lo, x_hi],
+    # intersected with the emission rect's column range
+    t_lo = jnp.maximum(
+        rmin[:, 0].astype(jnp.float32)[:, None],
+        jnp.ceil((x_lo - (tile - 1.0)) / float(tile)),
+    )
+    t_hi = jnp.minimum(
+        (rmax[:, 0] - 1).astype(jnp.float32)[:, None],
+        jnp.floor(x_hi / float(tile)),
+    )
+    run_len = jnp.where(row_live, jnp.maximum(t_hi - t_lo + 1.0, 0.0), 0.0)
+    t_lo = jnp.where(
+        row_live & (run_len > 0), t_lo, rmin[:, 0].astype(jnp.float32)[:, None]
+    )
+
+    cum_inc = jnp.cumsum(run_len, axis=1)
+    total_trim = cum_inc[:, -1]
+    cum_run = cum_inc - run_len  # exclusive prefix
+    # rows past rect_h (and empty trailing rows) already accumulate to the
+    # total; the decode's `local >= cum_run[k]` count needs exactly that
+    tiles_post = jnp.where(
+        trimmed, total_trim, screen.tiles_touched.astype(jnp.float32)
+    ).astype(jnp.int32)
+    return t_lo, cum_run, trimmed, tiles_post
+
+
 def _rank_table(boundaries, size: int):
     """rank[j] = #entries with boundaries[b] <= j, for j in [0, size).
 
@@ -182,12 +308,18 @@ def bin_gaussians(
     n = screen.depth.shape[0]
     _check_f32_exact_limits(n, capacity)
 
+    # --- (0) run-trimmed emission structure: capacity/sort pay POST-cull
+    # counts; the per-tile conic test becomes the emission rule itself
+    t_lo8, cum_run8, trimmed, tiles_post = compute_row_runs(
+        screen, tile, tight_cull
+    )
+
     # --- (1) depth-order the gaussians (small sort: N elements). Culled rows
-    # (tiles_touched == 0) are pushed to the END of the order — they emit no
+    # (tiles_post == 0) are pushed to the END of the order — they emit no
     # instances (same result as the reference, where they emit zero keys) and
     # a contiguous live prefix is what makes the expansion below telescope.
     iota = jnp.arange(n, dtype=jnp.int32)
-    live = screen.tiles_touched > 0
+    live = tiles_post > 0
     depth_key = jnp.where(live, screen.depth, jnp.inf)
     _, order = jax.lax.sort((depth_key, iota), num_keys=1, is_stable=True)
 
@@ -197,7 +329,7 @@ def bin_gaussians(
     rect_w_all = jnp.maximum(screen.rect_max[:, 0] - screen.rect_min[:, 0], 1)
     pre = jnp.stack(
         [
-            screen.tiles_touched.astype(jnp.float32),
+            tiles_post.astype(jnp.float32),
             screen.rect_min[:, 0].astype(jnp.float32),
             screen.rect_min[:, 1].astype(jnp.float32),
             rect_w_all.astype(jnp.float32),
@@ -235,36 +367,38 @@ def bin_gaussians(
     slots = jnp.arange(capacity, dtype=jnp.int32)
     local = slots - rows[:, 0].astype(jnp.int32)
     rect_w = jnp.maximum(rows[:, 3].astype(jnp.int32), 1)
-    tx = rows[:, 1].astype(jnp.int32) + local % rect_w
-    ty = rows[:, 2].astype(jnp.int32) + local // rect_w
+
+    # --- slot -> (tx, ty) decode. Trimmed owners emit their per-row RUNS
+    # (post-cull emission; see compute_row_runs): row r = how many exclusive
+    # run prefixes local has passed, tx = the row's first run column plus
+    # the offset within the run. Untrimmed owners keep the reference's
+    # full-rect decode (local % rect_w). The run tables are gathered
+    # EXACTLY by owner gid (col 4 is integer-exact through the cumsum), so
+    # the decode is bitwise identical to pack_bins' — drift-reconstructed
+    # inputs once flipped borderline instances between execution layouts.
+    gid_owner = rows[:, 4].astype(jnp.int32)
+    localf = local.astype(jnp.float32)
+    tx_rect = rows[:, 1].astype(jnp.int32) + local % rect_w
+    ty_rect = rows[:, 2].astype(jnp.int32) + local // rect_w
+    if tight_cull:
+        cum_o = cum_run8[gid_owner]  # (K, 8) row-gather (oracle path)
+        tlo_o = t_lo8[gid_owner]  # (K, 8)
+        trim_o = trimmed[gid_owner]
+        r_trim = (
+            (localf[:, None] >= cum_o[:, 1:]).astype(jnp.int32).sum(axis=1)
+        )
+        pick = jax.nn.one_hot(r_trim, RUN_HMAX, dtype=jnp.float32)
+        cum_sel = (pick * cum_o).sum(axis=1)
+        tlo_sel = (pick * tlo_o).sum(axis=1)
+        tx_trim = (tlo_sel + (localf - cum_sel)).astype(jnp.int32)
+        ty_trim = rows[:, 2].astype(jnp.int32) + r_trim
+        tx = jnp.where(trim_o, tx_trim, tx_rect)
+        ty = jnp.where(trim_o, ty_trim, ty_rect)
+    else:
+        tx, ty = tx_rect, ty_rect
     tile_id = ty * grid_x + tx
 
-    # --- tight cull: drop instances provably invisible in their tile
-    # (max alpha over the tile's pixel box < 1/255 -> the per-pixel blend
-    # skips them everywhere, forward and backward; see cull_qmax derivation
-    # in projection.py and the exact box minimum in _conic_box_qmin).
-    # The cull inputs are gathered EXACTLY by owner gid (col 4 is integer-
-    # exact through the cumsum) rather than riding the delta-cumsum, so the
-    # decision is bitwise identical to pack_bins' — drift-reconstructed
-    # inputs once flipped borderline instances between execution layouts
-    # (single-device vs sharded pipeline).
     valid = slots < jnp.minimum(total, capacity)
-    if tight_cull:
-        gid_owner = rows[:, 4].astype(jnp.int32)
-        cull_tbl = jnp.stack(
-            [
-                screen.mean2d[:, 0], screen.mean2d[:, 1], screen.cull_qmax,
-                screen.conic[:, 0], screen.conic[:, 1], screen.conic[:, 2],
-            ],
-            axis=1,
-        )[gid_owner]  # (K, 6) one row-gather (test/oracle path; ~17ns/row)
-        qmin = _conic_box_qmin(
-            cull_tbl[:, 0], cull_tbl[:, 1],
-            cull_tbl[:, 3], cull_tbl[:, 4], cull_tbl[:, 5],
-            (tx * tile).astype(jnp.float32), (ty * tile).astype(jnp.float32),
-            float(tile),
-        )
-        valid = valid & (qmin <= cull_tbl[:, 2])
     tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
     gid = jnp.where(valid, rows[:, 4], 0).astype(jnp.int32)
 
@@ -308,8 +442,10 @@ _XWIN = 768
 # exact through the one-hot matmul)
 _T_RMINX, _T_RMINY, _T_RECTW, _T_GID, _T_DEPTH = 0, 1, 2, 3, 4
 _T_ATTR0 = 5  # rows 5..14: mx, my, ca, cb, cc, op, r, g, b, invz
-_T_CULL, _T_COVER, _T_CUME, _T_CUMI = 15, 16, 17, 18
-_T_ROWS = 24  # padded sublane count
+_T_TRIM, _T_COVER, _T_CUME, _T_CUMI = 15, 16, 17, 18
+_T_TLO0 = 19  # rows 19..26: per-row run start columns (compute_row_runs)
+_T_CRUN0 = 27  # rows 27..34: exclusive run-length prefixes
+_T_ROWS = 40  # padded sublane count
 
 
 def _round_up(x: int, m: int) -> int:
@@ -386,23 +522,29 @@ def _expand_kernel(grid_x, tile, num_tiles, tight_cull, w0_ref, tbl_ref,
     ly = jnp.floor(local / rw)
     tx = rows[_T_RMINX : _T_RMINX + 1, :] + (local - ly * rw)
     ty = rows[_T_RMINY : _T_RMINY + 1, :] + ly
-    tile_id = ty * float(grid_x) + tx
 
-    valid = rows[_T_COVER : _T_COVER + 1, :] > 0.5
     if tight_cull:
-        mx = rows[_T_ATTR0 : _T_ATTR0 + 1, :]
-        my = rows[_T_ATTR0 + 1 : _T_ATTR0 + 2, :]
-        # attr conic rows ride FOLDED as [-a/2, -b, -c/2]; unfold with exact
-        # power-of-two/negation scalings so the cull sees the true conic
-        # (cu/etc: `c` is this kernel's grid index)
-        au = -2.0 * rows[_T_ATTR0 + 2 : _T_ATTR0 + 3, :]
-        bu = -rows[_T_ATTR0 + 3 : _T_ATTR0 + 4, :]
-        cu = -2.0 * rows[_T_ATTR0 + 4 : _T_ATTR0 + 5, :]
-        qmin = _conic_box_qmin(
-            mx, my, au, bu, cu, tx * float(tile), ty * float(tile), float(tile)
-        )
-        valid = valid & (qmin <= rows[_T_CULL : _T_CULL + 1, :])
+        # run-trimmed decode (post-cull emission, compute_row_runs): row =
+        # number of exclusive run prefixes `local` has passed; tx = that
+        # row's first run column + offset inside the run. Owners with
+        # trim == 0 (tall rects, degenerate conics) keep the rect decode.
+        r_trim = jnp.zeros_like(local)
+        for k in range(1, RUN_HMAX):
+            r_trim = r_trim + (
+                local >= rows[_T_CRUN0 + k : _T_CRUN0 + k + 1, :]
+            ).astype(jnp.float32)
+        cum_sel = jnp.zeros_like(local)
+        tlo_sel = jnp.zeros_like(local)
+        for k in range(RUN_HMAX):
+            is_k = (r_trim == float(k)).astype(jnp.float32)
+            cum_sel = cum_sel + is_k * rows[_T_CRUN0 + k : _T_CRUN0 + k + 1, :]
+            tlo_sel = tlo_sel + is_k * rows[_T_TLO0 + k : _T_TLO0 + k + 1, :]
+        trim = rows[_T_TRIM : _T_TRIM + 1, :] > 0.5
+        tx = jnp.where(trim, tlo_sel + (local - cum_sel), tx)
+        ty = jnp.where(trim, rows[_T_RMINY : _T_RMINY + 1, :] + r_trim, ty)
 
+    tile_id = ty * float(grid_x) + tx
+    valid = rows[_T_COVER : _T_COVER + 1, :] > 0.5
     tile_key = jnp.where(valid, tile_id, float(num_tiles)).astype(jnp.int32)
     dkey = pltpu.bitcast(rows[_T_DEPTH : _T_DEPTH + 1, :], jnp.int32)
     gid = jnp.where(valid, rows[_T_GID : _T_GID + 1, :], 0.0).astype(jnp.int32)
@@ -488,12 +630,18 @@ def pack_bins(
     cap = _round_up(capacity, _XCHUNK)
     m_pad = _round_up(n, 128) + _XWIN
 
-    live = screen.tiles_touched > 0
+    # run-trimmed emission: cum (and so capacity, the sort and everything
+    # downstream) pays POST-cull instance counts — see compute_row_runs
+    t_lo8, cum_run8, trimmed, tiles_post = compute_row_runs(
+        screen, tile, tight_cull
+    )
+
+    live = tiles_post > 0
     liv = lambda x, fill=0.0: jnp.where(live, x, fill)
 
     iota = jnp.arange(n, dtype=jnp.int32)
-    cum = jnp.cumsum(screen.tiles_touched)
-    cum_excl = cum - screen.tiles_touched
+    cum = jnp.cumsum(tiles_post)
+    cum_excl = cum - tiles_post
     total = cum[-1]
 
     rect_w = jnp.maximum(screen.rect_max[:, 0] - screen.rect_min[:, 0], 1)
@@ -516,14 +664,18 @@ def pack_bins(
         liv(screen.rgb[:, 1]),  # g
         liv(screen.rgb[:, 2]),  # b
         liv(1.0 / jnp.maximum(screen.depth, 0.2)),  # invz
-        liv(screen.cull_qmax),  # _T_CULL
+        liv(trimmed.astype(jnp.float32)),  # _T_TRIM
         jnp.ones((n,), jnp.float32),  # _T_COVER (1 for real rows)
         jnp.minimum(cum_excl, 1 << 24).astype(jnp.float32),  # _T_CUME
         jnp.minimum(cum, 1 << 24).astype(jnp.float32),  # _T_CUMI
+    ] + [
+        liv(t_lo8[:, k]) for k in range(RUN_HMAX)  # _T_TLO0..7
+    ] + [
+        liv(cum_run8[:, k]) for k in range(RUN_HMAX)  # _T_CRUN0..7
     ]
     tbl = jnp.stack(
         cols + [jnp.zeros((n,), jnp.float32)] * (_T_ROWS - len(cols)), axis=0
-    )  # (24, N)
+    )  # (_T_ROWS, N)
     # zero padding rows own nothing: cum_excl == cum_incl == 0 never matches
     tbl = jnp.pad(tbl, ((0, 0), (0, m_pad - n)))
 

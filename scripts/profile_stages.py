@@ -34,7 +34,7 @@ def main():
     from gsplat_tpu.ops.rasterize_pallas import blend_tiles_pallas
     from gsplat_tpu.render import grid_dims, render
 
-    width, height, n = 1920, 1080, 262_144
+    width, height, n = 1920, 1080, int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     params, alive, camera = _tiny_scene(n=n, width=width, height=height, sh_degree=3, capacity=n)
     # size the instance buffer like bench.py (capacity-proportional stages)
     from gsplat_tpu.capacity import probe_instance_capacity, round128

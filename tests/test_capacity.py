@@ -243,13 +243,16 @@ def test_batched_probe_matches_per_camera():
 
     peak = probe_instance_capacity(params, alive, cams)
     settings = make_render_settings(sh_degree=0, instance_capacity=1, max_per_tile=1)
+    from gsplat_tpu.ops.binning import compute_row_runs
+
     naive = 0
     for holder in cams:
         c = holder.camera
         gx = (c.width + 15) // 16
         gy = (c.height + 15) // 16
-        naive = max(
-            naive,
-            int(preprocess(params, alive, c, settings, gx, gy).tiles_touched.sum()),
+        screen = preprocess(params, alive, c, settings, gx, gy)
+        _, _, _, tiles_post = compute_row_runs(
+            screen, settings.tile, settings.tight_cull
         )
+        naive = max(naive, int(tiles_post.sum()))
     assert peak == naive > 0
