@@ -452,6 +452,31 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pack2_bf16(a, b):
+    """Round two f32 arrays to bf16 and pack the pairs into one int32 —
+    halves a sort's payload operand count (each operand costs ~0.7 ms per
+    1.13M rows on the TPU sort engine)."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((ah << 16) | bh, jnp.int32)
+
+
+def unpack2_bf16(c):
+    """Inverse of `pack2_bf16`: int32 -> (hi, lo) bf16 arrays."""
+    cu = jax.lax.bitcast_convert_type(c, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (cu >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+    lo = jax.lax.bitcast_convert_type(
+        (cu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    )
+    return hi, lo
+
+
 def _expand_kernel(grid_x, tile, num_tiles, tight_cull, w0_ref, tbl_ref,
                    attrs_ref, ikeys_ref, win_scr, sems):
     """Run-length decode of instance slots from the per-gaussian table.
@@ -700,17 +725,8 @@ def pack_bins(
     # in bf16-packet mode the nine attribute columns ride as five
     # bf16-pair-packed int32 columns.
     if jnp.dtype(packet_dtype) == jnp.bfloat16:
-        def pack2(a, b):
-            ah = jax.lax.bitcast_convert_type(
-                a.astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            bh = jax.lax.bitcast_convert_type(
-                b.astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)
-            return jax.lax.bitcast_convert_type((ah << 16) | bh, jnp.int32)
-
         payload = tuple(
-            pack2(attrs[i], attrs[i + 1]) for i in range(0, 10, 2)
+            pack2_bf16(attrs[i], attrs[i + 1]) for i in range(0, 10, 2)
         )  # (mx,my) (ca,cb) (cc,op) (r,g) (b,invz)
     else:
         payload = tuple(attrs[r] for r in range(9))  # mx..b (invz recomputed)
@@ -726,17 +742,7 @@ def pack_bins(
 
     slot_valid = tile_sorted < num_tiles
     if jnp.dtype(packet_dtype) == jnp.bfloat16:
-        def unpack2(c):
-            cu = jax.lax.bitcast_convert_type(c, jnp.uint32)
-            hi = jax.lax.bitcast_convert_type(
-                (cu >> 16).astype(jnp.uint16), jnp.bfloat16
-            )
-            lo = jax.lax.bitcast_convert_type(
-                (cu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-            )
-            return hi, lo
-
-        attr_cols = [x for c in sorted_payload for x in unpack2(c)]
+        attr_cols = [x for c in sorted_payload for x in unpack2_bf16(c)]
     else:
         depth_sorted = jax.lax.bitcast_convert_type(dkey_sorted, jnp.float32)
         # invalid tail slots carry garbage depth bits (possibly NaN/inf):

@@ -1019,7 +1019,10 @@ def _make_oit_vjp(grid_x: int, grid_y: int, tile: int, pair: int = 1):
         dinst = jnp.where(slot_valid[None, :], dinst, 0.0)
         from gsplat_tpu.ops.reduce import reduce_by_gid
 
-        drows = reduce_by_gid(dinst, gauss_id, n_gauss)
+        drows = reduce_by_gid(
+            dinst, gauss_id, n_gauss,
+            pack_bf16=inst_t.dtype == jnp.bfloat16,
+        )
         d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
         d_conic = drows[_ROW_CA : _ROW_CC + 1].T
         d_op = drows[_ROW_OP]
@@ -1079,7 +1082,12 @@ def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool,
         # rides the sort and matrix engines instead and scales ~linearly.
         from gsplat_tpu.ops.reduce import reduce_by_gid
 
-        drows = reduce_by_gid(dinst, gauss_id, n_gauss)  # (16, N)
+        # in bf16-packet mode the gradient rows also ride the sort
+        # bf16-pair-packed (see reduce_by_gid) — half the payload operands
+        drows = reduce_by_gid(
+            dinst, gauss_id, n_gauss,
+            pack_bf16=inst_t.dtype == jnp.bfloat16,
+        )  # (16, N)
         d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
         d_conic = drows[_ROW_CA : _ROW_CC + 1].T
         d_op = drows[_ROW_OP]

@@ -191,13 +191,20 @@ def _run_reduce(comb, w0, n_pad, interpret):
     )(w0, comb)
 
 
-def reduce_by_gid(dinst, gauss_id, n_gauss: int):
+def reduce_by_gid(dinst, gauss_id, n_gauss: int, pack_bf16: bool = False):
     """Sum (16, K) per-instance gradient rows into (16, n_gauss) columns.
 
     Only rows 0..9 of `dinst` are meaningful (rows 10..15 of the RESULT are
     scratch garbage); callers must mask invalid slots' gradients to zero
     beforehand. Replaces `jnp.zeros((16, N)).at[:, gauss_id].add(dinst)`
     with engines that scale past the scalar scatter unit (module docstring).
+
+    `pack_bf16` rides the ten gradient rows through the sort as five
+    bf16-pair-packed int32 operands (halving the dominant per-operand sort
+    cost); per-instance contributions round to bf16 BEFORE the f32
+    accumulation. Callers gate this on the bf16-packet mode
+    (`RenderSettings.packet_dtype`), whose forward already carries
+    bf16-level error — quality-certified end to end, not parity-exact.
     """
     k = dinst.shape[1]
     assert dinst.shape[0] == N_ROWS
@@ -206,11 +213,27 @@ def reduce_by_gid(dinst, gauss_id, n_gauss: int):
 
     # ONE unstable sort: gid key (equal keys may permute, changing only the
     # f32 summation order within a gaussian) + the ten live gradient rows.
-    ops = jax.lax.sort(
-        (gauss_id,) + tuple(dinst[r] for r in range(10)),
-        num_keys=1,
-        is_stable=False,
-    )
+    if pack_bf16:
+        from gsplat_tpu.ops.binning import pack2_bf16, unpack2_bf16
+
+        packed = tuple(
+            pack2_bf16(dinst[r], dinst[r + 1]) for r in range(0, 10, 2)
+        )
+        ops_p = jax.lax.sort(
+            (gauss_id,) + packed, num_keys=1, is_stable=False
+        )
+        grad_rows = [
+            x.astype(jnp.float32)
+            for c in ops_p[1:]
+            for x in unpack2_bf16(c)
+        ]
+        ops = (ops_p[0],) + tuple(grad_rows)
+    else:
+        ops = jax.lax.sort(
+            (gauss_id,) + tuple(dinst[r] for r in range(10)),
+            num_keys=1,
+            is_stable=False,
+        )
     gid_s = ops[0]
 
     k_pad = _round_up(max(k, _RCHUNK), _RCHUNK)

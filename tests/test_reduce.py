@@ -85,3 +85,23 @@ def test_reduce_large_n_zero_fill():
     out[10:] = 0.0
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
     assert np.all(out[:, 4000:] == 0.0)
+
+
+def test_reduce_pack_bf16_close_to_f32():
+    """pack_bf16=True rides the gradient rows through the sort as bf16
+    pairs: the result must match the f32 reduction to bf16 tolerance
+    (per-instance contributions round before the f32 accumulation)."""
+    rng = np.random.default_rng(5)
+    n, k = 300, 4096
+    gid = np.sort(rng.integers(0, n, k)).astype(np.int32)
+    dinst = np.zeros((N_ROWS, k), np.float32)
+    dinst[:10] = rng.normal(0, 1.0, (10, k)).astype(np.float32)
+    exact = np.array(reduce_by_gid(jnp.asarray(dinst), jnp.asarray(gid), n))
+    packed = np.array(
+        reduce_by_gid(jnp.asarray(dinst), jnp.asarray(gid), n, pack_bf16=True)
+    )
+    scale = np.abs(exact[:10]).max()
+    err = np.abs(packed[:10] - exact[:10]).max() / scale
+    assert err < 2e-2, err
+    # and the packed path is still a real reduction (not zeros)
+    assert np.abs(packed[:10]).max() > 0.1 * scale
