@@ -71,8 +71,11 @@ class PipelineConfig:
     # >0 -> fixed per-shard row capacity. Undersizing surfaces as the
     # band_overflow metric and auto-grows like the instance buffer.
     exchange_capacity: int = -1
-    # Instance-packet dtype for the Pallas blend DMA + sort payload:
-    # "float32" (default) | "bfloat16" (halves both)
+    # Instance-packet mode for the Pallas binning sort + blend:
+    # "float32" (parity) | "hybrid" (positions stay f32; conic/opacity/
+    # color and the backward reduce's gradient rows ride the sorts
+    # bf16-pair-packed) | "bfloat16" (everything bf16 — measured to LOSE
+    # ~5 dB of trained quality at 800px, kept for forward-only serving)
     packet_dtype: str = "float32"
 
 

@@ -136,7 +136,11 @@ class RenderSettings:
     antialiasing: bool = False
     sh_degree: int = 3
     backend: str = "jnp"  # "jnp" | "pallas"
-    packet_dtype: str = "float32"  # "float32" | "bfloat16" (pallas instance DMA)
+    # "float32" (parity) | "hybrid" (positions f32, value columns bf16-packed
+    # through the sort + packed gradient reduce; blend sees f32 packets) |
+    # "bfloat16" (everything bf16 — fails trained-quality certification at
+    # 800px scale, kept for forward/serving; see artifacts/cert_r4)
+    packet_dtype: str = "float32"
     # drop (gaussian, tile) instances whose max alpha over the tile is provably
     # < 1/255 — the per-pixel blend skips them everywhere, so renders and
     # gradients are unchanged while instance counts shrink ~30-50%

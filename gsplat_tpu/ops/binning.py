@@ -721,13 +721,28 @@ def pack_bins(
     # bin_gaussians' stable two-sort order (depth bits of positive f32 are
     # monotone in depth; equal depths fall back to gaussian id). Sort cost
     # scales ~linearly with operand count, so the payload is slimmed:
-    # invz never rides (it's recomputed from the sorted depth-bits key), and
-    # in bf16-packet mode the nine attribute columns ride as five
-    # bf16-pair-packed int32 columns.
-    if jnp.dtype(packet_dtype) == jnp.bfloat16:
+    # invz never rides on the f32/hybrid paths (it's recomputed from the
+    # sorted depth-bits key); in bf16-packet mode the nine attribute columns
+    # ride as five bf16-pair-packed int32 columns; in HYBRID mode the two
+    # POSITION columns stay f32 (bf16's 8-bit mantissa is whole pixels at
+    # 800-1920px scale — the lego-30k certification of all-bf16 packets
+    # FAILED at 30.42 vs 35.47 PSNR, artifacts/cert_r4) while the value
+    # columns (conic, opacity, color) pair-pack: 6 payload operands vs 9,
+    # and the blend still receives plain f32 packets.
+    if isinstance(packet_dtype, str) and packet_dtype == "hybrid":
+        mode = "hybrid"
+    elif jnp.dtype(packet_dtype) == jnp.bfloat16:
+        mode = "bf16"
+    else:
+        mode = "f32"
+    if mode == "bf16":
         payload = tuple(
             pack2_bf16(attrs[i], attrs[i + 1]) for i in range(0, 10, 2)
         )  # (mx,my) (ca,cb) (cc,op) (r,g) (b,invz)
+    elif mode == "hybrid":
+        payload = (attrs[0], attrs[1]) + tuple(
+            pack2_bf16(attrs[i], attrs[i + 1]) for i in range(2, 10, 2)
+        )  # mx, my, (ca,cb) (cc,op) (r,g) (b,invz)
     else:
         payload = tuple(attrs[r] for r in range(9))  # mx..b (invz recomputed)
 
@@ -741,8 +756,16 @@ def pack_bins(
     bounds = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
 
     slot_valid = tile_sorted < num_tiles
-    if jnp.dtype(packet_dtype) == jnp.bfloat16:
+    if mode == "bf16":
         attr_cols = [x for c in sorted_payload for x in unpack2_bf16(c)]
+        out_dtype = jnp.bfloat16
+    elif mode == "hybrid":
+        attr_cols = list(sorted_payload[:2]) + [
+            x.astype(jnp.float32)
+            for c in sorted_payload[2:]
+            for x in unpack2_bf16(c)
+        ]
+        out_dtype = jnp.float32
     else:
         depth_sorted = jax.lax.bitcast_convert_type(dkey_sorted, jnp.float32)
         # invalid tail slots carry garbage depth bits (possibly NaN/inf):
@@ -751,10 +774,11 @@ def pack_bins(
             slot_valid, 1.0 / jnp.maximum(depth_sorted, 0.2), 0.0
         )
         attr_cols = list(sorted_payload) + [invz_sorted]
+        out_dtype = jnp.dtype(packet_dtype)
 
-    zero = jnp.zeros((cap,), packet_dtype)
+    zero = jnp.zeros((cap,), out_dtype)
     inst_t = jnp.stack(
-        [c.astype(packet_dtype) for c in attr_cols] + [zero] * 6, axis=0
+        [c.astype(out_dtype) for c in attr_cols] + [zero] * 6, axis=0
     )
 
     return PackedBins(

@@ -995,7 +995,8 @@ def _run_oit_backward(inst_t, tile_start, tile_end, fwd_out, dout,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_oit_vjp(grid_x: int, grid_y: int, tile: int, pair: int = 1):
+def _make_oit_vjp(grid_x: int, grid_y: int, tile: int, pair: int = 1,
+                  reduce_pack: bool = False):
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz,
               inst_t, tile_start, tile_end, gauss_id, slot_valid):
@@ -1021,7 +1022,7 @@ def _make_oit_vjp(grid_x: int, grid_y: int, tile: int, pair: int = 1):
 
         drows = reduce_by_gid(
             dinst, gauss_id, n_gauss,
-            pack_bf16=inst_t.dtype == jnp.bfloat16,
+            pack_bf16=reduce_pack or inst_t.dtype == jnp.bfloat16,
         )
         d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
         d_conic = drows[_ROW_CA : _ROW_CC + 1].T
@@ -1050,6 +1051,7 @@ def _float0(x):
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool,
+                    reduce_pack: bool = False,
                     pair: int = 1):
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, rgb, invz,
@@ -1086,7 +1088,7 @@ def _make_blend_vjp(grid_x: int, grid_y: int, tile: int, track_contrib: bool,
         # bf16-pair-packed (see reduce_by_gid) — half the payload operands
         drows = reduce_by_gid(
             dinst, gauss_id, n_gauss,
-            pack_bf16=inst_t.dtype == jnp.bfloat16,
+            pack_bf16=reduce_pack or inst_t.dtype == jnp.bfloat16,
         )  # (16, N)
         d_mean2d = drows[_ROW_MX : _ROW_MY + 1].T
         d_conic = drows[_ROW_CA : _ROW_CC + 1].T
@@ -1119,6 +1121,7 @@ def blend_tiles_pallas(
     track_contrib: bool = False,
     blend_mode: str = "sorted",
     tiles_per_step: int | None = None,
+    reduce_pack: bool = False,
 ) -> BlendOutput:
     """Blend the sorted instance stream with the Pallas kernels.
 
@@ -1162,7 +1165,7 @@ def blend_tiles_pallas(
     if blend_mode == "oit":
         # the custom VJP wraps only the RAW commutative sums (N, D, T); the
         # quotient/compositing below is plain jnp, autodiffed for free
-        blend = _make_oit_vjp(grid_x, grid_y, tile, pair)
+        blend = _make_oit_vjp(grid_x, grid_y, tile, pair, reduce_pack)
         out = blend(
             screen.mean2d, screen.conic, screen.opacity, screen.rgb,
             inv_depth_all, inst_t, tile_start, tile_end, gauss_id, slot_valid,
@@ -1179,7 +1182,7 @@ def blend_tiles_pallas(
             overflow=jnp.zeros((), jnp.int32),
         )
 
-    blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib, pair)
+    blend = _make_blend_vjp(grid_x, grid_y, tile, track_contrib, reduce_pack, pair)
     out = blend(
         screen.mean2d, screen.conic, screen.opacity, screen.rgb, inv_depth_all,
         inst_t, tile_start, tile_end, gauss_id, slot_valid,

@@ -169,9 +169,12 @@ def make_sharded_render(
 
             bins = pack_bins(
                 local, gx, gy_local, cap_local, settings.tile,
-                settings.tight_cull, packet_dtype=jnp.dtype(settings.packet_dtype),
+                settings.tight_cull, packet_dtype=settings.packet_dtype,
             )
-            out = blend_tiles_pallas(local, bins, gx, gy_local, tile)
+            out = blend_tiles_pallas(
+                local, bins, gx, gy_local, tile,
+                reduce_pack=settings.packet_dtype == "hybrid",
+            )
         else:
             bins = bin_gaussians(
                 local, gx, gy_local, cap_local, settings.tile, settings.tight_cull

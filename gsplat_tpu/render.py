@@ -84,12 +84,13 @@ def render(
 
         bins = pack_bins(
             screen, gx, gy, settings.instance_capacity, settings.tile,
-            settings.tight_cull, packet_dtype=jnp.dtype(settings.packet_dtype),
+            settings.tight_cull, packet_dtype=settings.packet_dtype,
         )
         out = blend_tiles_pallas(
             screen, bins, gx, gy, settings.tile,
             track_contrib=settings.track_contrib,
             blend_mode=settings.blend_mode,
+            reduce_pack=settings.packet_dtype == "hybrid",
         )
     else:
         bins = bin_gaussians(

@@ -135,6 +135,53 @@ def test_bf16_packets_close_to_f32():
     assert np.isfinite(np.asarray(bf16.color)).all()
 
 
+def test_hybrid_packets_positions_exact_values_close():
+    """Hybrid packet mode: the position rows must be BIT-EQUAL to the f32
+    path (bf16 positions are whole pixels at real image scale — the failed
+    all-bf16 lego certification, artifacts/cert_r4), the value rows within
+    bf16 rounding, the blend and its gradients close, and the packed
+    gradient reduce within bf16 tolerance of the f32 reduce."""
+    import jax
+    import jax.numpy as jnp
+
+    screen, bins, gx, gy = build()
+    cap = bins.gauss_id.shape[0]
+    bins_h = pack_bins(screen, gx, gy, cap, packet_dtype="hybrid")
+    # identical sort keys -> identical permutation -> identical structure
+    np.testing.assert_array_equal(np.asarray(bins.tile_id), np.asarray(bins_h.tile_id))
+    np.testing.assert_array_equal(np.asarray(bins.gauss_id), np.asarray(bins_h.gauss_id))
+    a = np.asarray(bins.inst_t)
+    b = np.asarray(bins_h.inst_t)
+    assert b.dtype == np.float32
+    np.testing.assert_array_equal(a[0], b[0])  # mx bit-equal
+    np.testing.assert_array_equal(a[1], b[1])  # my bit-equal
+    for r in range(2, 10):
+        scale = np.abs(a[r]).max() + 1e-12
+        assert np.abs(a[r] - b[r]).max() / scale < 2 ** -8, r
+
+    def loss(inst_bins, pack):
+        out = rp.blend_tiles_pallas(
+            screen, inst_bins, gx, gy, 16, reduce_pack=pack
+        )
+        return (out.color ** 2).sum() + 0.3 * (out.invdepth ** 2).sum()
+
+    f_f32 = loss(bins, False)
+    f_hyb = loss(bins_h, True)
+    assert abs(float(f_f32) - float(f_hyb)) / abs(float(f_f32)) < 1e-2
+
+    def full(p_bins, pack):
+        def fn(mean2d):
+            s2 = screen.replace(mean2d=mean2d)
+            out = rp.blend_tiles_pallas(s2, p_bins, gx, gy, 16, reduce_pack=pack)
+            return (out.color ** 2).sum()
+        return jax.grad(fn)(screen.mean2d)
+
+    gf = np.asarray(full(bins, False))
+    gh = np.asarray(full(bins_h, True))
+    scale = np.abs(gf).max() + 1e-12
+    assert np.abs(gf - gh).max() / scale < 3e-2
+
+
 def test_streaming_protocol_boundary_patterns():
     """Adversarial tile-range shapes for the cross-invocation DMA protocol:
     empty head/mid/tail tiles, a range ending exactly on a chunk boundary,
