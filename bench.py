@@ -3,12 +3,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 BASELINE-defined config — a garden-class scene (~1M gaussians at 1920x1080)
-— plus a `points` field with the 262k-gaussian point rounds 1-2 headlined,
-so both ends of the scaling curve are driver-recorded.
+— plus a `points` field with the f32 parity path and the 262k-gaussian
+point rounds 1-2 headlined, so both ends of the scaling curve are
+driver-recorded.
 
-`vs_baseline` is measured against the reference's only published render-rate
-number: the 3DGS paper's >=30 fps at 1080p (`README.md:14`), i.e.
-1920*1080*30 = 62.2M pixels/s forward-only on a paper-era CUDA GPU.
+The headline runs the TRAINING default configuration: hybrid instance
+packets (positions f32, value columns + backward-reduce payload
+bf16-pair-packed through the sorts) — quality-certified end to end by the
+lego-30k run in artifacts/cert_r4 (the all-bf16 mode FAILED that
+certification and is not used). `points.garden_f32` is the strict parity
+path.
+
+`vs_baseline` is measured against the reference's only published
+render-rate number: the 3DGS paper's >=30 fps at 1080p (`README.md:14`),
+i.e. 1920*1080*30 = 62.2M pixels/s forward-only on a paper-era CUDA GPU.
 """
 
 from __future__ import annotations
@@ -21,7 +29,8 @@ import numpy as np
 BASELINE_PIXELS_PER_S = 1920 * 1080 * 30.0
 
 
-def measure(n: int, width: int = 1920, height: int = 1080, iters: int = 8):
+def measure(n: int, packet_dtype="float32", width: int = 1920,
+            height: int = 1080, iters: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +45,8 @@ def measure(n: int, width: int = 1920, height: int = 1080, iters: int = 8):
 
     # right-size the instance buffer to the scene (capacity-proportional
     # stages — instance sort, chunk gathers, the backward sort-back — pay
-    # per compiled slot, not per real instance)
+    # per compiled slot, not per real instance). The probe counts POST-cull
+    # emission (run-trimmed; ops/binning.py).
     cam_holder = type("CamHolder", (), {"camera": camera})
     peak = probe_instance_capacity(params, alive, [cam_holder])
     settings = make_render_settings(
@@ -45,6 +55,7 @@ def measure(n: int, width: int = 1920, height: int = 1080, iters: int = 8):
         # the probe is exact for this fixed camera, so size to it exactly
         instance_capacity=round128(peak),
         backend="pallas",
+        packet_dtype=packet_dtype,
     )
 
     def loss_fn(params, alive):
@@ -66,8 +77,10 @@ def measure(n: int, width: int = 1920, height: int = 1080, iters: int = 8):
 def main():
     # garden-scale first (the BASELINE metric is defined on garden, ~1M
     # gaussians at 1080p); the 262k point keeps continuity with rounds 1-2
-    garden_rate, garden_inst = measure(n=1_048_576)
-    small_rate, small_inst = measure(n=262_144)
+    garden_rate, garden_inst = measure(n=1_048_576, packet_dtype="hybrid")
+    garden_f32, _ = measure(n=1_048_576, packet_dtype="float32")
+    small_rate, small_inst = measure(n=262_144, packet_dtype="hybrid")
+    px = 1920 * 1080
     print(
         json.dumps(
             {
@@ -80,14 +93,18 @@ def main():
                         "pixels_per_s": round(garden_rate, 1),
                         "instances": garden_inst,
                         "ns_per_instance": round(
-                            1e9 * (1920 * 1080 / garden_rate) / max(garden_inst, 1), 2
+                            1e9 * (px / garden_rate) / max(garden_inst, 1), 2
                         ),
+                    },
+                    "1M_gauss_f32_parity": {
+                        "pixels_per_s": round(garden_f32, 1),
+                        "vs_baseline": round(garden_f32 / BASELINE_PIXELS_PER_S, 4),
                     },
                     "262k_gauss": {
                         "pixels_per_s": round(small_rate, 1),
                         "instances": small_inst,
                         "ns_per_instance": round(
-                            1e9 * (1920 * 1080 / small_rate) / max(small_inst, 1), 2
+                            1e9 * (px / small_rate) / max(small_inst, 1), 2
                         ),
                         "vs_baseline": round(small_rate / BASELINE_PIXELS_PER_S, 4),
                     },
