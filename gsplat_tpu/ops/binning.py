@@ -100,6 +100,11 @@ def _conic_box_qmin(mx, my, a, b, c, x0, y0, tile):
     """EXACT min of Q(dx, dy) = (a*dx^2 + c*dy^2)/2 + b*dx*dy over the tile
     pixel box [x0, x0+tile-1] x [y0, y0+tile-1], relative to center (mx, my).
 
+    Round 3's per-tile cull test. Production emission now uses the per-ROW
+    interval form (`compute_row_runs` — same sublevel-set geometry, solved
+    once per row instead of per tile); this function remains as the
+    independent per-tile oracle the tests cross-check the runs against.
+
     Q is the conic quadratic (alpha = op*exp(-Q)), convex for a psd conic,
     so the box minimum is 0 when the center lies inside the box and
     otherwise lies on one of the two NEAR edges; each edge's 1D minimum is

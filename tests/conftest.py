@@ -68,6 +68,7 @@ _SLOW_TESTS = {
     "test_tight_cull_blend_equivalence",
     "test_tight_cull_is_conservative",
     "test_pack_bins_matches_bin_gaussians",
+    "test_row_runs_cover_per_tile_test",
     "test_resize_roundtrip_preserves_render",
 }
 

@@ -218,3 +218,47 @@ def test_tight_cull_blend_equivalence(scene_kind):
     for name, a, b in zip(["mean2d", "opacity"], grads[0], grads[1]):
         rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-8)
         assert rel < 2e-5, f"{name}: rel diff {rel}"
+
+
+def test_row_runs_cover_per_tile_test():
+    """The run intervals (emission rule) must KEEP every tile the per-tile
+    conic box-min test keeps — the runs are the same sublevel-set geometry
+    solved per row, and an under-covering run would silently delete a
+    visible instance (the one failure conservativeness forbids)."""
+    from gsplat_tpu.ops.binning import (
+        RUN_HMAX, _conic_box_qmin, compute_row_runs,
+    )
+    from gsplat_tpu.ops.projection import preprocess
+
+    sc = make_test_scene(np.random.default_rng(23), n=1500, width=128,
+                         height=96, sh_degree=1)
+    params, camera, alive = scene_to_inputs(sc)
+    settings = make_render_settings(sh_degree=1, max_per_tile=1024,
+                                    instance_capacity=1 << 12)
+    gx, gy = grid_dims(camera, 16)
+    screen = preprocess(params, alive, camera, settings, gx, gy)
+    t_lo, cum_run, trimmed, tiles_post = map(
+        np.asarray, compute_row_runs(screen, 16, True)
+    )
+    rmin = np.asarray(screen.rect_min)
+    rmax = np.asarray(screen.rect_max)
+    conic = np.asarray(screen.conic)
+    mean2d = np.asarray(screen.mean2d)
+    qmax = np.asarray(screen.cull_qmax)
+    live = np.asarray(screen.tiles_touched) > 0
+
+    checked = 0
+    for i in np.nonzero(live & trimmed)[0]:
+        run_len = np.diff(np.append(cum_run[i], tiles_post[i]))
+        for r in range(min(RUN_HMAX, rmax[i, 1] - rmin[i, 1])):
+            ty = rmin[i, 1] + r
+            for tx in range(rmin[i, 0], rmax[i, 0]):
+                qmin = float(_conic_box_qmin(
+                    mean2d[i, 0], mean2d[i, 1], conic[i, 0], conic[i, 1],
+                    conic[i, 2], float(tx * 16), float(ty * 16), 16.0,
+                ))
+                if qmin <= qmax[i]:  # per-tile test keeps it
+                    lo = t_lo[i, r]
+                    assert lo <= tx < lo + run_len[r], (i, r, tx)
+                    checked += 1
+    assert checked > 200  # the cross-check actually exercised real tiles
