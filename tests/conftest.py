@@ -50,6 +50,7 @@ _SLOW_TESTS = {
     "test_gaussian_capacity_grows_during_densification",
     "test_train_loop_sharded_mesh",
     "test_train_loop_pipeline_band_exchange",
+    "test_pipeline_band_overflow_surfaces",
     "test_train_loop_end_to_end",
     "test_colmap_train_render_end_to_end",
     "test_render_and_metrics_cli",

@@ -418,3 +418,52 @@ def test_train_loop_pipeline_band_exchange(mini_blender64, tmp_path, capsys):
     ev = results["test"][10]
     assert np.isfinite(ev["psnr"]) and ev["psnr"] > 5
     assert int(state.alive.sum()) > 0
+
+
+def test_pipeline_band_overflow_surfaces(mini_blender64, tmp_path, capsys):
+    """An undersized FIXED exchange_capacity must surface as the
+    band_overflow warning (never silent truncation), and training must
+    stay finite — the same contract as the instance buffer."""
+    from gsplat_tpu.train.loop import train
+    import gsplat_tpu.data.readers as readers
+
+    model_cfg = ModelConfig(
+        source_path=mini_blender64,
+        model_path=str(tmp_path / "model"),
+        white_background=True,
+        eval=True,
+        sh_degree=0,
+    )
+    opt = OptimizationConfig(iterations=3, densify_from_iter=99,
+                             densify_until_iter=0)
+    pipe = PipelineConfig(
+        backend="jnp", instance_capacity=1 << 14, max_per_tile=256,
+        capacity=2048, mesh="4x2", exchange_capacity=128,  # way undersized
+    )
+
+    orig = readers.read_blender_scene_info
+
+    def small_scene(path, **kw):
+        info = orig(path, **kw)
+        rng = np.random.default_rng(0)
+        n = 512
+        info.points = (rng.random((n, 3)) * 2.6 - 1.3).astype(np.float32)
+        info.colors = rng.random((n, 3)).astype(np.float32)
+        info.normals = np.zeros((n, 3), np.float32)
+        return info
+
+    readers.read_blender_scene_info = small_scene
+    readers.read_scene_info.__globals__["read_blender_scene_info"] = small_scene
+    try:
+        state, scene, results = train(
+            model_cfg, opt, pipe,
+            testing_iterations=(), saving_iterations=(), quiet=True,
+            log_every=1,
+        )
+    finally:
+        readers.read_blender_scene_info = orig
+        readers.read_scene_info.__globals__["read_blender_scene_info"] = orig
+
+    err = capsys.readouterr().err
+    assert "band exchange overflow" in err
+    assert np.isfinite(float(np.asarray(state.params.xyz).sum()))
