@@ -60,6 +60,14 @@ from gsplat_tpu.ops.projection import ScreenGaussians
 from gsplat_tpu.ops.rasterize_jnp import ALPHA_MAX, ALPHA_MIN, T_EPS, BlendOutput
 
 CHUNK = 128  # gaussians per packet == lane width
+
+# Precision of the in-kernel MXU contractions (color accumulation, gradient
+# moments). HIGHEST is the parity default: the MXU's single-pass bf16 DEFAULT
+# mode costs ~4e-3 relative error in colors and gradients on hardware (the
+# round-2 precision bug). Probes may flip this to measure the fast-math
+# headroom — call _make_blend_vjp.cache_clear() / _make_oit_vjp.cache_clear()
+# after changing it (the VJP cache does not key on it).
+BLEND_PRECISION = jax.lax.Precision.HIGHEST
 PPT = 256  # pixels per 16x16 tile
 
 _ROW_MX, _ROW_MY, _ROW_CA, _ROW_CB, _ROW_CC, _ROW_OP = 0, 1, 2, 3, 4, 5
@@ -358,7 +366,7 @@ def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
         # interpreter hides it); these matmuls are tiny, the passes are free
         accum = accum + jax.lax.dot_general(
             q["w"], feat_t, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=BLEND_PRECISION,
             preferred_element_type=jnp.float32,
         )  # (rows, 4)
         if track_contrib:
@@ -607,7 +615,7 @@ def _bwd_kernel(
             basis_dpix,
             jnp.concatenate([dgm, q["w"]], axis=1),  # (rows, 256)
             (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=BLEND_PRECISION,
             preferred_element_type=jnp.float32,
         )  # (6*pair+4, 256): [6i:6i+6, 0:128] = tile i's moments; tail = dfeat
         dfeat = both[6 * pair : 6 * pair + 4, CHUNK : 2 * CHUNK]  # (4,128)
@@ -789,7 +797,7 @@ def _oit_fwd_kernel(grid_x, tile, pair, start_ref, end_ref, inst_ref, out_ref,
         )  # (5,128): r, g, b, invz, 1 (the ones row accumulates D)
         acc = acc + jax.lax.dot_general(
             aw, feat5, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=BLEND_PRECISION,
             preferred_element_type=jnp.float32,
         )  # (256,5)
         logt = logt + jnp.sum(jnp.log1p(-q["alpha"]), axis=1, keepdims=True)
@@ -902,7 +910,7 @@ def _oit_bwd_kernel(
             basis_dN,
             jnp.concatenate([dgm, alpha, aK], axis=1),  # (rows, 384)
             (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=BLEND_PRECISION,
             preferred_element_type=jnp.float32,
         )  # (6*pair+4, 384)
         RA = out10[6 * pair : 6 * pair + 4, CHUNK : 2 * CHUNK]  # dN^T @ alpha
