@@ -72,11 +72,14 @@ class PipelineConfig:
     # band_overflow metric and auto-grows like the instance buffer.
     exchange_capacity: int = -1
     # Instance-packet mode for the Pallas binning sort + blend:
-    # "float32" (parity) | "hybrid" (positions stay f32; conic/opacity/
-    # color and the backward reduce's gradient rows ride the sorts
-    # bf16-pair-packed) | "bfloat16" (everything bf16 — measured to LOSE
-    # ~5 dB of trained quality at 800px, kept for forward-only serving)
-    packet_dtype: str = "float32"
+    # "hybrid" (default: positions stay f32; conic/opacity/color and the
+    # backward reduce's gradient rows ride the sorts bf16-pair-packed —
+    # certified at lego-30k 35.11 PSNR / 0.9806 SSIM vs the f32 runs'
+    # 35.10-35.47 / 0.9801, artifacts/cert_r4; ~15% faster garden step) |
+    # "float32" (strict parity) | "bfloat16" (everything bf16 — measured
+    # to LOSE ~4.4 dB of trained quality at 800px scale; forward/serving
+    # only)
+    packet_dtype: str = "hybrid"
 
 
 @dataclass(frozen=True)

@@ -25,14 +25,17 @@ import sys
 
 ART = "artifacts/full_eval_r4"
 
+# provenance: training round + packet mode (materials/mic trained after
+# the hybrid default flip — broader validation of the shipped default;
+# every scene is SCORED on the f32 parity renderer either way)
 SOURCES = {
-    "drums": ("output/full_eval_r4/drums", "round 4"),
-    "ficus": ("output/full_eval_r4/ficus", "round 4"),
-    "hotdog": ("output/full_eval_r4/hotdog", "round 4"),
-    "materials": ("output/full_eval_r4/materials", "round 4"),
-    "mic": ("output/full_eval_r4/mic", "round 4"),
-    "chair": ("output/full_eval_r3/chair", "round 3"),
-    "ship": ("output/full_eval_r3/ship", "round 3"),
+    "drums": ("output/full_eval_r4/drums", "round 4, f32"),
+    "ficus": ("output/full_eval_r4/ficus", "round 4, f32"),
+    "hotdog": ("output/full_eval_r4/hotdog", "round 4, f32"),
+    "materials": ("output/full_eval_r4/materials", "round 4, hybrid"),
+    "mic": ("output/full_eval_r4/mic", "round 4, hybrid"),
+    "chair": ("output/full_eval_r3/chair", "round 3, f32"),
+    "ship": ("output/full_eval_r3/ship", "round 3, f32"),
 }
 
 REF_30K = {
@@ -105,7 +108,7 @@ def main():
         res = json.load(open(os.path.join(adir, "results.json")))
         for method, m in sorted(res.items()):
             rows.append(("lego", method.replace("ours_", ""), m["PSNR"],
-                         m["SSIM"], "round 2"))
+                         m["SSIM"], "round 2, f32"))
 
     for scene, (sdir, prov) in sorted(SOURCES.items()):
         res = collect_scene(scene, sdir, os.path.join(ART, scene))
