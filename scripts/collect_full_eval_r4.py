@@ -113,7 +113,30 @@ def main():
     for scene, (sdir, prov) in sorted(SOURCES.items()):
         res = collect_scene(scene, sdir, os.path.join(ART, scene))
         if res is None:
-            print(f"WARNING: {scene} has no results at {sdir}", file=sys.stderr)
+            # render-dir metrics missing (e.g. the mic renders hit the
+            # axon-transport outage at the end of round 4): fall back to
+            # the training loop's own full-test-set eval from the train
+            # log — same held-out cameras, PSNR only (no SSIM)
+            log = os.path.join(sdir, "train_supervised.log")
+            psnr = None
+            if os.path.exists(log):
+                import re as _re
+                for l in open(log, errors="replace"):
+                    m = _re.search(r"\[ITER (\d+)\] test: L1 \S+ PSNR (\S+)", l)
+                    if m and m.group(1) in ("7000", "30000"):
+                        adir = os.path.join(ART, scene)
+                        os.makedirs(adir, exist_ok=True)
+                        rows.append((scene, m.group(1), float(m.group(2)),
+                                     float("nan"), prov + " (train-log eval)"))
+                        psnr = m.group(2)
+            if psnr is None:
+                print(f"WARNING: {scene} has no results at {sdir}",
+                      file=sys.stderr)
+            else:
+                c = curves(sdir)
+                if c:
+                    with open(os.path.join(ART, scene, "train_curve.json"), "w") as f:
+                        json.dump(c, f)
             continue
         for method, m in sorted(res.items()):
             rows.append((scene, method.replace("ours_", ""), m["PSNR"],
@@ -136,8 +159,9 @@ def main():
     rows.sort(key=lambda r: (r[0], order.get(r[1], 2)))
     for scene, it, psnr, ssim, prov in rows:
         ref = REF_30K.get(scene)
+        ssim_s = f"{ssim:.4f}" if ssim == ssim else "—"
         lines.append(
-            f"| {scene} | {it} | {psnr:.2f} | {ssim:.4f} | "
+            f"| {scene} | {it} | {psnr:.2f} | {ssim_s} | "
             f"{ref if ref is not None else '—'} | {prov} |"
         )
     with open(os.path.join(ART, "SUMMARY.md"), "w") as f:
