@@ -74,12 +74,114 @@ def measure(n: int, packet_dtype="float32", width: int = 1920,
     return width * height / dt, int(peak)
 
 
+def measure_render_only(n: int, packet_dtype="hybrid", width: int = 1920,
+                        height: int = 1080, iters: int = 20):
+    """Forward-only (no-grad) serving rate on the synthetic garden-class
+    cloud — the comparison point for the reference's only published perf
+    number, >=30 fps @ 1080p (`/root/reference/README.md:14`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.capacity import probe_instance_capacity, round128
+    from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.render import render
+    from __graft_entry__ import _tiny_scene
+
+    params, alive, camera = _tiny_scene(
+        n=n, width=width, height=height, sh_degree=3, capacity=n
+    )
+    cam_holder = type("CamHolder", (), {"camera": camera})
+    peak = probe_instance_capacity(params, alive, [cam_holder])
+    settings = make_render_settings(
+        sh_degree=3, max_per_tile=2048, instance_capacity=round128(peak),
+        backend="pallas", packet_dtype=packet_dtype,
+    )
+    fwd = jax.jit(
+        lambda p, a: render(camera, p, a, settings, jnp.zeros(3))["render"]
+    )
+    img = fwd(params, alive)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = fwd(params, alive)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / iters
+    return width * height / dt, int(peak)
+
+
+def measure_render_only_trained(model_dir: str, source: str,
+                                packet_dtype="hybrid", iters: int = 20):
+    """Forward-only rate on a TRAINED 30k checkpoint (real-scene splat
+    statistics) — skipped gracefully when the workspace lacks the trained
+    cloud or dataset (both are session artifacts, not git-tracked)."""
+    import os
+
+    if not (os.path.isdir(model_dir) and os.path.isdir(source)):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.capacity import probe_instance_capacity, round128
+    from gsplat_tpu.core.types import make_render_settings
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.io.snapshot import load_snapshot
+    from gsplat_tpu.render import render
+
+    params, alive, _, _ = load_snapshot(model_dir, 30000)
+    scene = Scene(source, model_path=None, images="images", depths="",
+                  resolution=-1, white_background=True, eval=True,
+                  train_test_exp=False, shuffle=False)
+    cam = scene.get_train_cameras()[0].camera
+    holder = type("H", (), {"camera": cam})
+    peak = probe_instance_capacity(params, alive, [holder])
+    settings = make_render_settings(
+        sh_degree=3, max_per_tile=2048, instance_capacity=round128(peak),
+        backend="pallas", packet_dtype=packet_dtype,
+    )
+    fwd = jax.jit(
+        lambda p, a: render(cam, p, a, settings, jnp.ones(3))["render"]
+    )
+    img = fwd(params, alive)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = fwd(params, alive)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / iters
+    width, height = int(cam.width), int(cam.height)
+    return {
+        "pixels_per_s": round(width * height / dt, 1),
+        "ms": round(dt * 1e3, 2),
+        "n_gauss": int(__import__("numpy").asarray(alive).sum()),
+        "vs_baseline": round((width * height / dt) / BASELINE_PIXELS_PER_S, 4),
+    }
+
+
 def main():
     # garden-scale first (the BASELINE metric is defined on garden, ~1M
     # gaussians at 1080p); the 262k point keeps continuity with rounds 1-2
     garden_rate, garden_inst = measure(n=1_048_576, packet_dtype="hybrid")
     garden_f32, _ = measure(n=1_048_576, packet_dtype="float32")
     small_rate, small_inst = measure(n=262_144, packet_dtype="hybrid")
+    # render-only (serving) rate vs the reference's only published perf
+    # number, >=30 fps @ 1080p forward-only (= BASELINE_PIXELS_PER_S)
+    ro_garden, _ = measure_render_only(n=1_048_576, packet_dtype="hybrid")
+    render_only = {
+        "1M_gauss_1080p": {
+            "pixels_per_s": round(ro_garden, 1),
+            "vs_baseline": round(ro_garden / BASELINE_PIXELS_PER_S, 4),
+        },
+    }
+    for scene, src in (
+        ("output/full_eval_r3/chair", "/root/reference/nerf_synthetic/chair"),
+        ("output/full_eval_r3/ship", "/root/reference/nerf_synthetic/ship"),
+    ):
+        try:
+            r = measure_render_only_trained(scene, src)
+        except Exception:
+            r = None
+        if r is not None:
+            render_only[scene.rsplit("/", 1)[1] + "_30k_800px"] = r
     px = 1920 * 1080
     print(
         json.dumps(
@@ -108,6 +210,7 @@ def main():
                         ),
                         "vs_baseline": round(small_rate / BASELINE_PIXELS_PER_S, 4),
                     },
+                    "render_only": render_only,
                 },
             }
         )

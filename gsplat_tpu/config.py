@@ -72,10 +72,13 @@ class PipelineConfig:
     # band_overflow metric and auto-grows like the instance buffer.
     exchange_capacity: int = -1
     # Instance-packet mode for the Pallas binning sort + blend:
-    # "hybrid" (default: positions stay f32; conic/opacity/color and the
-    # backward reduce's gradient rows ride the sorts bf16-pair-packed —
-    # certified at lego-30k 35.11 PSNR / 0.9806 SSIM vs the f32 runs'
-    # 35.10-35.47 / 0.9801, artifacts/cert_r4; ~15% faster garden step) |
+    # "hybrid" (default: positions AND inverse depth stay exact f32 —
+    # invz is recomputed from the sorted depth-bits key, never bf16-routed
+    # — while conic/opacity/color and the backward reduce's gradient rows
+    # ride the sorts bf16-pair-packed — certified at lego-30k 35.11 PSNR /
+    # 0.9806 SSIM vs the f32 runs' 35.10-35.47 / 0.9801, artifacts/cert_r4;
+    # cert scope is 800px NeRF-synthetic — use "float32" for strict parity
+    # on untested regimes; ~15% faster garden step) |
     # "float32" (strict parity) | "bfloat16" (everything bf16 — measured
     # to LOSE ~4.4 dB of trained quality at 800px scale; forward/serving
     # only)

@@ -187,12 +187,16 @@ def read_cameras_text(path) -> dict:
 def read_images_text(path) -> dict:
     out = {}
     with open(path) as f:
-        # keep blank lines: an image with zero 2D points has an EMPTY
-        # second line, and dropping it would shift the 2-line pairing
         lines = [l.strip() for l in f if not l.startswith("#")]
-    while lines and not lines[0]:
-        lines.pop(0)
-    for i in range(0, len(lines), 2):
+    # pairing mirrors the reference's readline loop: blank lines are
+    # skipped EXCEPT the one immediately following an image header (an
+    # image with zero 2D points has an empty points line), so stray
+    # blank lines elsewhere can't shift the 2-line pairing
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         parts = lines[i].split()
         image_id = int(parts[0])
         qvec = np.array([float(x) for x in parts[1:5]])
@@ -200,6 +204,7 @@ def read_images_text(path) -> dict:
         camera_id = int(parts[8])
         name = parts[9]
         elems = lines[i + 1].split() if i + 1 < len(lines) else []
+        i += 2
         xys = np.array([float(x) for x in elems], dtype=np.float64)
         if xys.size:
             xys = xys.reshape(-1, 3)

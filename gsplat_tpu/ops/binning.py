@@ -745,9 +745,13 @@ def pack_bins(
             pack2_bf16(attrs[i], attrs[i + 1]) for i in range(0, 10, 2)
         )  # (mx,my) (ca,cb) (cc,op) (r,g) (b,invz)
     elif mode == "hybrid":
+        # invz does NOT ride the hybrid payload — like the f32 path it is
+        # recomputed exactly from the sorted depth-bits key below, so the
+        # inverse-depth image / depth-L1 gradients see no bf16 rounding.
         payload = (attrs[0], attrs[1]) + tuple(
-            pack2_bf16(attrs[i], attrs[i + 1]) for i in range(2, 10, 2)
-        )  # mx, my, (ca,cb) (cc,op) (r,g) (b,invz)
+            pack2_bf16(attrs[i], attrs[i + 1]) for i in range(2, 8, 2)
+        ) + (pack2_bf16(attrs[8], jnp.zeros_like(attrs[8])),)
+        # mx, my, (ca,cb) (cc,op) (r,g) (b,_)
     else:
         payload = tuple(attrs[r] for r in range(9))  # mx..b (invz recomputed)
 
@@ -765,11 +769,19 @@ def pack_bins(
         attr_cols = [x for c in sorted_payload for x in unpack2_bf16(c)]
         out_dtype = jnp.bfloat16
     elif mode == "hybrid":
-        attr_cols = list(sorted_payload[:2]) + [
+        depth_sorted = jax.lax.bitcast_convert_type(dkey_sorted, jnp.float32)
+        # invalid tail slots carry garbage depth bits (possibly NaN/inf):
+        # sanitize so no non-finite value can enter the blend accumulators
+        invz_sorted = jnp.where(
+            slot_valid, 1.0 / jnp.maximum(depth_sorted, 0.2), 0.0
+        )
+        unpacked = [
             x.astype(jnp.float32)
             for c in sorted_payload[2:]
             for x in unpack2_bf16(c)
         ]
+        # drop the zero half-slot packed alongside b; append exact invz
+        attr_cols = list(sorted_payload[:2]) + unpacked[:7] + [invz_sorted]
         out_dtype = jnp.float32
     else:
         depth_sorted = jax.lax.bitcast_convert_type(dkey_sorted, jnp.float32)

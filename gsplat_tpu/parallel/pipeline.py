@@ -84,8 +84,9 @@ def make_sharded_render(
     down to the band's working set. The compaction is a row-gather, so its
     autodiff transpose is a scatter-add back to the owning rows, composing
     with the all_gather's psum_scatter transpose. Compaction overflow (more
-    band-intersecting rows than capacity) is counted in `instance_overflow`
-    — same contract as the instance buffer. None = the plain full gather.
+    band-intersecting rows than capacity) is reported as the separate
+    `band_overflow` metric — it drives the exchange-capacity controller
+    only, never the instance-capacity one. None = the plain full gather.
     """
     tile = settings.tile
     gx = (width + tile - 1) // tile
@@ -188,7 +189,11 @@ def make_sharded_render(
         invd_img = tiles_to_image(out.invdepth, gx, gy_local, tile, width, gy_local * tile)
         return (
             img, invd_img, radii,
-            (bins.overflow + band_overflow)[None], bins.num_instances[None],
+            # instance overflow and band overflow are reported SEPARATELY:
+            # each drives its own capacity controller (summing them made the
+            # instance controller grow/recompile for exchange overflows the
+            # instance buffer never had)
+            bins.overflow[None], bins.num_instances[None],
             band_overflow[None], band_count[None],
         )
 
@@ -235,6 +240,10 @@ def make_sharded_render(
             # controller's (count, overflow) observation pair
             "band_overflow": b_of.sum(),
             "band_count": b_cnt.max(),
+            # per-tile-band vectors (length n_tile; zeros without exchange):
+            # the distribution the auto-sizer's max() observation summarizes
+            "band_counts": b_cnt,
+            "band_overflows": b_of,
         }
 
     return render_fn

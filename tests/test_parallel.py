@@ -315,8 +315,11 @@ def test_band_exchange_matches_full_gather(setup):
             err_msg=f"params.{name}",
         )
 
-    # undersized exchange must surface as overflow, not silent truncation
+    # undersized exchange must surface as overflow, not silent truncation —
+    # on the dedicated band_overflow metric (which drives the exchange
+    # controller), NOT on instance_overflow (which would grow/recompile the
+    # instance buffer for an overflow it never had)
     tiny = jax.jit(
         make_sharded_render(mesh, settings, 128, 128, exchange_capacity=16)
     )(camera, sp, sa, jnp.zeros(3))
-    assert int(tiny["instance_overflow"]) > 0
+    assert int(tiny["band_overflow"]) > 0
