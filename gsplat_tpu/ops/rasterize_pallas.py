@@ -253,6 +253,13 @@ def _chunk_blend(blk, px, py, t_raw, lo, hi):
 _NBUF = 4
 _WBUF = 4
 
+# gaussian-axis unroll: consecutive instance chunks blended per while-loop
+# trip (round-5 probe; see _fwd_kernel/_bwd_kernel live_body). 1 = the
+# round-4 shape; 2 halves the loop/protocol overhead and exposes chunk-level
+# ILP at the cost of unroll-chunk early-stop granularity.
+FWD_UNROLL = 1
+BWD_UNROLL = 1
+
 
 def _read_protocol(inst_ref, scr, sems, cur, nctotal):
     """Cross-invocation streaming reads of the instance buffer.
@@ -295,10 +302,15 @@ def _read_protocol(inst_ref, scr, sems, cur, nctotal):
             cur[1] = nxt + 1
             return nxt + 1
 
+        # start at max(cursor, g): after a drain_reads() skip (early stop)
+        # the chunks in [cursor, g) belong to no remaining tile — jump over
+        # them instead of issuing DMAs nobody will wait on. All slots are
+        # free at that point (drain_reads waited every in-flight read), so
+        # the jump cannot land on a busy buffer.
         jax.lax.while_loop(
             lambda nxt: (nxt < nctotal) & (nxt <= g + _NBUF - 1),
             issue_body,
-            cur[1],
+            jnp.maximum(cur[1], g),
         )
 
         @pl.when(cur[0] <= g)
@@ -313,11 +325,43 @@ def _read_protocol(inst_ref, scr, sems, cur, nctotal):
 
         return scr[g % _NBUF]
 
-    return init, fetch
+    def drain_reads(next_base=None):
+        """Early-stop fast path: wait out the (<= _NBUF-1) reads still in
+        flight and mark them consumed — instead of issuing + waiting a DMA
+        for EVERY remaining chunk of the tile's range (the round-4 drain
+        loop, pure protocol traffic for data nobody reads). The next
+        tile's fetch() jumps the issue cursor over the skipped gap; with
+        `next_base` the skipped tail's lookahead is respent prefetching
+        the next tile's first chunks so it starts warm, like the round-4
+        drain left it."""
+
+        def wait_body(g2):
+            pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(pl.multiple_of(g2 * CHUNK, CHUNK), CHUNK)],
+                scr.at[g2 % _NBUF],
+                sems.at[g2 % _NBUF],
+            ).wait()
+            return g2 + 1
+
+        jax.lax.while_loop(lambda g2: g2 < cur[1], wait_body, cur[0])
+        cur[0] = cur[1]
+        if next_base is not None:
+            def issue_body(nxt):
+                issue(nxt)
+                cur[1] = nxt + 1
+                return nxt + 1
+
+            jax.lax.while_loop(
+                lambda nxt: (nxt < nctotal) & (nxt <= next_base + _NBUF - 2),
+                issue_body,
+                jnp.maximum(cur[1], next_base),
+            )
+
+    return init, fetch, drain_reads
 
 
-def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
-                out_ref, scr, sems, cur):
+def _fwd_kernel(grid_x, tile, pair, track_contrib, unroll, start_ref, end_ref,
+                inst_ref, out_ref, scr, sems, cur):
     # instance packets may be bf16 (half the DMA traffic, the GS-IRON bf16
     # ladder analogue); all blend math runs f32
     #
@@ -341,7 +385,7 @@ def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
     px, py = _pixel_coords(first, grid_x, tile, rows)
     s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
 
-    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init, fetch, drain_reads = _read_protocol(inst_ref, scr, sems, cur, nctotal)
     init(p)
 
     # Tile-level early stop (the vector analogue of the CUDA per-pixel `done`
@@ -354,12 +398,12 @@ def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
         ci, t_raw, _, _, _ = st
         return (ci < nch) & (jnp.max(t_raw) >= T_EPS)
 
-    def live_body(st):
-        ci, t_raw, t_eff, accum, ncon = st
-        g = base + ci
+    def blend_one(g, t_raw, accum, ncon, e_lim):
+        """Blend window chunk g; e_lim <= e_col masks an absent unroll mate
+        (e_lim == s_col -> zero valid lanes, a no-op blend)."""
         blk = fetch(g).astype(jnp.float32)  # (16, 128)
         woff = g * CHUNK
-        q = _chunk_blend(blk, px, py, t_raw, s_col - woff, e_col - woff)
+        q = _chunk_blend(blk, px, py, t_raw, s_col - woff, e_lim - woff)
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128): r,g,b,invz
         # HIGHEST precision: the MXU's default single-pass bf16 matmul costs
         # ~4e-3 relative error in the accumulated color on hardware (the CPU
@@ -380,7 +424,27 @@ def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
                     jnp.where(q["alpha_eff"] > 0.0, pos, 0.0), axis=1, keepdims=True
                 ),
             )
-        return ci + 1, q["t_raw_next"], t_eff * q["eff_prod"], accum, ncon
+        return q["t_raw_next"], q["eff_prod"], accum, ncon
+
+    def live_body(st):
+        ci, t_raw, t_eff, accum, ncon = st
+        g = base + ci
+        t_raw, effp, accum, ncon = blend_one(g, t_raw, accum, ncon, e_col)
+        t_eff = t_eff * effp
+        # gaussian-axis unroll: blend `unroll` consecutive chunks per loop
+        # trip. Chunk k's dx/power/exp/alpha/cumprod are fully independent
+        # of chunk k-1 (only the t_raw product chain is serial), so the
+        # unrolled body exposes ~2x vector-op ILP and halves the loop /
+        # fetch-protocol overhead. An absent mate (range end) degenerates
+        # to a masked re-blend of the LAST chunk with zero valid lanes —
+        # fetch(g) of a consumed chunk is a pure VMEM re-read, never a DMA.
+        for k in range(1, unroll):
+            has_k = ci + k < nch
+            gk = jnp.minimum(g + k, base + jnp.maximum(nch, 1) - 1)
+            e_lim = jnp.where(has_k, e_col, s_col)
+            t_raw, effp, accum, ncon = blend_one(gk, t_raw, accum, ncon, e_lim)
+            t_eff = t_eff * effp
+        return ci + unroll, t_raw, t_eff, accum, ncon
 
     # rows of an empty tile in the pair start saturated (t_raw = 0) so they
     # never hold the pair's early stop open; their outputs don't read t_raw
@@ -396,11 +460,21 @@ def _fwd_kernel(grid_x, tile, pair, track_contrib, start_ref, end_ref, inst_ref,
         ),
     )
 
-    def drain_body(i, _):
-        fetch(base + i)
-        return 0
+    # early-stop fast drain: the skipped tail chunks are read by no one —
+    # settle the in-flight DMAs and jump the cursors instead of issuing +
+    # waiting a DMA per remaining chunk (round-4 behavior; pure overhead,
+    # several ms/frame on converged scenes with saturated pixels), then
+    # respend the lookahead prefetching the next pair's first chunks
+    next_base = jnp.where(
+        p + 1 < num_pairs,
+        start_ref[jnp.minimum((p + 1) * pair, num_pairs * pair - 1)] // CHUNK,
+        nctotal,
+    )
 
-    jax.lax.fori_loop(ci, nch, drain_body, 0)
+    @pl.when(ci < nch)
+    def _():
+        drain_reads(next_base)
+
     out_ref[0, :, 0:4] = accum
     out_ref[0, :, 4:5] = t_eff
     out_ref[0, :, 5:6] = ncon
@@ -420,10 +494,13 @@ def _pad_ranges(tile_start, tile_end, num_tiles, pair):
 
 
 def _run_forward(inst_t, tile_start, tile_end, grid_x, grid_y, tile,
-                 track_contrib=False, pair=1):
+                 track_contrib=False, pair=1, unroll=None):
     num_tiles = grid_x * grid_y
     tile_start, tile_end, num_pad = _pad_ranges(tile_start, tile_end, num_tiles, pair)
-    kernel = functools.partial(_fwd_kernel, grid_x, tile, pair, track_contrib)
+    kernel = functools.partial(
+        _fwd_kernel, grid_x, tile, pair, track_contrib,
+        FWD_UNROLL if unroll is None else unroll,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_pad // pair,),
@@ -514,8 +591,8 @@ def _make_emit(nch, e, total, dinst_ref, grad_scr, carry_scr, out_sems, cur):
 
 
 def _bwd_kernel(
-    grid_x, tile, pair, start_ref, end_ref, inst_ref, fwd_ref, dout_ref, dinst_ref,
-    scr, grad_scr, carry_scr, sems, out_sems, cur,
+    grid_x, tile, pair, unroll, start_ref, end_ref, inst_ref, fwd_ref, dout_ref,
+    dinst_ref, scr, grad_scr, carry_scr, sems, out_sems, cur,
 ):
     # pair > 1: same pairing as the forward (see _fwd_kernel) — `pair`
     # adjacent tiles' pixels share the chunk loop on pair*256 sublanes, and
@@ -545,7 +622,7 @@ def _bwd_kernel(
     s_total = jnp.sum(fwd_ref[0, :, 0:4] * dpix, axis=1, keepdims=True)  # (rows,1)
     bgdot = d_tfinal * t_final  # background/final-T coupling term
 
-    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init, fetch, drain_reads = _read_protocol(inst_ref, scr, sems, cur, nctotal)
     init(p)
 
     @pl.when(p == 0)
@@ -567,12 +644,13 @@ def _bwd_kernel(
         ci, t_raw, _ = st
         return (ci < nch) & (jnp.max(t_raw) >= T_EPS)
 
-    def live_body(st):
-        ci, t_raw, prefix = st
-        g = base + ci
+    def blend_grad_one(ci, g, t_raw, prefix, e_lim, do_emit):
+        """One chunk's gradient block + emit. e_lim < e_col masks an absent
+        unroll mate (zero valid lanes); do_emit guards the emit protocol so
+        a masked re-blend never double-writes its chunk."""
         blk = fetch(g).astype(jnp.float32)
         woff = g * CHUNK
-        q = _chunk_blend(blk, px, py, t_raw, s_col - woff, e_col - woff)
+        q = _chunk_blend(blk, px, py, t_raw, s_col - woff, e_lim - woff)
 
         feat_t = blk[_ROW_FEAT : _ROW_FEAT + 4, :]  # (4,128)
         # c_{p,j} = sum_ch feat_{ch,j} * dpix_{p,ch} — a K=4 contraction:
@@ -651,8 +729,28 @@ def _bwd_kernel(
         pad = jnp.zeros((N_ROWS - 10, CHUNK), jnp.float32)
         grads = jnp.concatenate([grad_rows, dfeat, pad], axis=0)
 
-        emit(ci, g, grads)
-        return ci + 1, q["t_raw_next"], prefix_incl[:, CHUNK - 1 : CHUNK]
+        @pl.when(do_emit)
+        def _():
+            emit(ci, g, grads)
+
+        return q["t_raw_next"], prefix_incl[:, CHUNK - 1 : CHUNK]
+
+    def live_body(st):
+        ci, t_raw, prefix = st
+        t_raw, prefix = blend_grad_one(
+            ci, base + ci, t_raw, prefix, e_col, jnp.bool_(True)
+        )
+        # gaussian-axis unroll (see _fwd_kernel): mate chunks' heavy vector
+        # work is independent of each other (only the t_raw/prefix carry
+        # columns are serial); an absent mate re-blends the LAST chunk with
+        # zero valid lanes and skips emit (each chunk is emitted exactly
+        # once, keeping the carry/hold/write protocol's invariants)
+        for k in range(1, unroll):
+            has_k = ci + k < nch
+            gk = jnp.minimum(base + ci + k, base + jnp.maximum(nch, 1) - 1)
+            e_lim = jnp.where(has_k, e_col, s_col)
+            t_raw, prefix = blend_grad_one(ci + k, gk, t_raw, prefix, e_lim, has_k)
+        return ci + unroll, t_raw, prefix
 
     ci, _, _ = jax.lax.while_loop(
         live_cond,
@@ -664,8 +762,22 @@ def _bwd_kernel(
         ),
     )
 
+    # early-stop drain: every remaining chunk still needs its ZERO gradient
+    # block written (each chunk is written exactly once, by its last
+    # contributing tile) — but not its instance data: settle the in-flight
+    # reads once, prefetch the next pair's chunks, and let the emit loop
+    # run fetch-free.
+    next_base = jnp.where(
+        p + 1 < num_pairs,
+        start_ref[jnp.minimum((p + 1) * pair, num_pairs * pair - 1)] // CHUNK,
+        nctotal,
+    )
+
+    @pl.when(ci < nch)
+    def _():
+        drain_reads(next_base)
+
     def drain_body(i, _):
-        fetch(base + i)
         emit(i, base + i, jnp.zeros((N_ROWS, CHUNK), jnp.float32))
         return 0
 
@@ -680,7 +792,7 @@ def _bwd_kernel(
 
 
 def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y,
-                  tile, pair=1):
+                  tile, pair=1, unroll=None):
     num_tiles = grid_x * grid_y
     k_pad = inst_t.shape[1]
     tile_start, tile_end, num_pad = _pad_ranges(tile_start, tile_end, num_tiles, pair)
@@ -690,7 +802,10 @@ def _run_backward(inst_t, tile_start, tile_end, fwd_out, dout, grid_x, grid_y,
         dout = jnp.pad(dout, ext)
     fwd_out = fwd_out.reshape(num_pad // pair, pair * PPT, 8)
     dout = dout.reshape(num_pad // pair, pair * PPT, 8)
-    kernel = functools.partial(_bwd_kernel, grid_x, tile, pair)
+    kernel = functools.partial(
+        _bwd_kernel, grid_x, tile, pair,
+        BWD_UNROLL if unroll is None else unroll,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_pad // pair,),
@@ -778,7 +893,7 @@ def _oit_fwd_kernel(grid_x, tile, pair, start_ref, end_ref, inst_ref, out_ref,
     px, py = _pixel_coords(first, grid_x, tile, rows)
     s_col, e_col = _range_cols(start_ref, end_ref, first, pair, rows)
 
-    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init, fetch, drain_reads = _read_protocol(inst_ref, scr, sems, cur, nctotal)
     init(p)
 
     ones_row = jnp.ones((1, CHUNK), jnp.float32)
@@ -866,7 +981,7 @@ def _oit_bwd_kernel(
     rT = dT * t_fin  # cotangent of logT = sum log1p(-alpha)
     basis_dN = jnp.concatenate(basis_cols + [dN], axis=1)  # (rows, 6*pair+4)
 
-    init, fetch = _read_protocol(inst_ref, scr, sems, cur, nctotal)
+    init, fetch, drain_reads = _read_protocol(inst_ref, scr, sems, cur, nctotal)
     init(p)
 
     @pl.when(p == 0)

@@ -229,6 +229,7 @@ def train(
     log_every: int = 10,
     on_iteration=None,
     checkpoint_every: int = 0,
+    seed: int = 0,
 ):
     """Run the full optimization; returns (state, scene, results dict)."""
     scene = Scene(
@@ -247,7 +248,7 @@ def train(
         scene.info.points, scene.info.colors,
         max_sh_degree=model_cfg.sh_degree, capacity=capacity,
     )
-    state = init_train_state(params, alive, num_images=len(train_cams))
+    state = init_train_state(params, alive, num_images=len(train_cams), seed=seed)
     first_iter = 0
     if start_checkpoint:
         state, first_iter = load_checkpoint(start_checkpoint)
@@ -374,8 +375,10 @@ def train(
         except Exception:
             print("tensorboard unavailable — progress logs only", file=sys.stderr)
 
-    rng = random.Random(0)
-    np_rng = np.random.default_rng(0)
+    # seed covers camera pick order, densify child sampling, and any
+    # numpy-side draws — the knob the chair seed-variance study turns
+    rng = random.Random(seed)
+    np_rng = np.random.default_rng(seed)
     # shrink-window spans ~500 iterations regardless of log cadence
     cap_ctl = (
         CapacityController(inst_cap, window=max(1, 500 // max(log_every, 1)))

@@ -57,6 +57,7 @@ _SLOW_TESTS = {
     "test_cfg_args_roundtrip",  # shares the trained-model session fixture
     "test_bf16_packets_close_to_f32",
     "test_hybrid_packets_positions_exact_values_close",
+    "test_unroll_bitwise_matches_baseline",
     # 8-virtual-device mesh equivalence
     "test_dryrun_multichip_entry",
     "test_band_exchange_matches_full_gather",

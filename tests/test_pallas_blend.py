@@ -101,6 +101,31 @@ def test_backward_matches_jnp_autodiff():
         assert rel < 5e-5, f"{name}: rel diff {rel}"
 
 
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_unroll_bitwise_matches_baseline(unroll):
+    """The gaussian-axis chunk unroll (FWD_UNROLL/BWD_UNROLL) is a pure
+    issue-overhead optimization: forward outputs AND the per-instance
+    gradient stream must be BIT-equal to the unroll=1 kernels (same math,
+    same association order; the absent-mate masked re-blend contributes
+    exactly nothing)."""
+    screen, bins, gx, gy = build()
+    f1 = rp._run_forward(bins.inst_t, bins.tile_start, bins.tile_end,
+                         gx, gy, 16, True, 1, unroll=1)
+    fu = rp._run_forward(bins.inst_t, bins.tile_start, bins.tile_end,
+                         gx, gy, 16, True, 1, unroll=unroll)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(fu))
+    rng = np.random.default_rng(5)
+    dout = jnp.asarray(rng.normal(0, 1, f1.shape).astype(np.float32))
+    valid = np.asarray(bins.tile_id < gx * gy)
+    b1 = np.asarray(rp._run_backward(bins.inst_t, bins.tile_start, bins.tile_end,
+                                     f1, dout, gx, gy, 16, 1, unroll=1))
+    bu = np.asarray(rp._run_backward(bins.inst_t, bins.tile_start, bins.tile_end,
+                                     f1, dout, gx, gy, 16, 1, unroll=unroll))
+    # only slots inside the instance stream are ever written (the tail is
+    # masked by slot_valid in blend_bwd before the gradient reduce)
+    np.testing.assert_array_equal(b1[:, valid], bu[:, valid])
+
+
 def test_empty_tiles_are_background():
     # all gaussians culled -> kernel loop never runs, output must be clean
     screen, bins, gx, gy = build(n=16)

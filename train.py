@@ -41,6 +41,11 @@ def main(argv=None):
         "(atomic overwrite of <model>/rolling_chkpnt.pkl)",
     )
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--seed", type=int, default=0,
+        help="RNG seed (camera pick order, densify split sampling); the "
+        "reference is unseeded CUDA nondeterminism, ours is reproducible",
+    )
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument(
         "--profile_steps", type=int, default=0,
@@ -154,6 +159,7 @@ def main(argv=None):
             log_every=args.log_every,
             on_iteration=on_iteration,
             checkpoint_every=args.checkpoint_every,
+            seed=args.seed,
         )
     finally:
         if gui_server:
