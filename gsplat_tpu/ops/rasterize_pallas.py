@@ -260,6 +260,11 @@ _WBUF = 4
 FWD_UNROLL = 1
 BWD_UNROLL = 1
 
+# early-stop drain mode: True = settle in-flight reads + cursor jump +
+# next-pair prefetch (round 5); False = the round-4 issue+wait-every-chunk
+# drain, kept probe-able for on-chip attribution (scripts/probe_r5_unroll).
+FAST_DRAIN = True
+
 
 def _read_protocol(inst_ref, scr, sems, cur, nctotal):
     """Cross-invocation streaming reads of the instance buffer.
@@ -465,15 +470,22 @@ def _fwd_kernel(grid_x, tile, pair, track_contrib, unroll, start_ref, end_ref,
     # waiting a DMA per remaining chunk (round-4 behavior; pure overhead,
     # several ms/frame on converged scenes with saturated pixels), then
     # respend the lookahead prefetching the next pair's first chunks
-    next_base = jnp.where(
-        p + 1 < num_pairs,
-        start_ref[jnp.minimum((p + 1) * pair, num_pairs * pair - 1)] // CHUNK,
-        nctotal,
-    )
+    if FAST_DRAIN:
+        next_base = jnp.where(
+            p + 1 < num_pairs,
+            start_ref[jnp.minimum((p + 1) * pair, num_pairs * pair - 1)] // CHUNK,
+            nctotal,
+        )
 
-    @pl.when(ci < nch)
-    def _():
-        drain_reads(next_base)
+        @pl.when(ci < nch)
+        def _():
+            drain_reads(next_base)
+    else:
+        def drain_body(i, _):
+            fetch(base + i)
+            return 0
+
+        jax.lax.fori_loop(ci, nch, drain_body, 0)
 
     out_ref[0, :, 0:4] = accum
     out_ref[0, :, 4:5] = t_eff
@@ -767,19 +779,25 @@ def _bwd_kernel(
     # contributing tile) — but not its instance data: settle the in-flight
     # reads once, prefetch the next pair's chunks, and let the emit loop
     # run fetch-free.
-    next_base = jnp.where(
-        p + 1 < num_pairs,
-        start_ref[jnp.minimum((p + 1) * pair, num_pairs * pair - 1)] // CHUNK,
-        nctotal,
-    )
+    if FAST_DRAIN:
+        next_base = jnp.where(
+            p + 1 < num_pairs,
+            start_ref[jnp.minimum((p + 1) * pair, num_pairs * pair - 1)] // CHUNK,
+            nctotal,
+        )
 
-    @pl.when(ci < nch)
-    def _():
-        drain_reads(next_base)
+        @pl.when(ci < nch)
+        def _():
+            drain_reads(next_base)
 
-    def drain_body(i, _):
-        emit(i, base + i, jnp.zeros((N_ROWS, CHUNK), jnp.float32))
-        return 0
+        def drain_body(i, _):
+            emit(i, base + i, jnp.zeros((N_ROWS, CHUNK), jnp.float32))
+            return 0
+    else:
+        def drain_body(i, _):
+            fetch(base + i)
+            emit(i, base + i, jnp.zeros((N_ROWS, CHUNK), jnp.float32))
+            return 0
 
     jax.lax.fori_loop(ci, nch, drain_body, 0)
 

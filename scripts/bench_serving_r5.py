@@ -48,19 +48,25 @@ def bench_cloud(tag, params, alive, camera, bg):
     w, h = int(camera.width), int(camera.height)
     row = {"scene": tag, "w": w, "h": h,
            "n_gauss": int(np.asarray(alive).sum()), "instances": int(peak)}
-    for unroll in (1, 2, 4):
+    configs = [("unroll1", 1, True), ("unroll2", 2, True),
+               ("unroll4", 4, True),
+               # attribution: the round-4 issue+wait-every-chunk drain
+               ("unroll1_slowdrain", 1, False)]
+    for name, unroll, fast in configs:
         rp.FWD_UNROLL = unroll
+        rp.FAST_DRAIN = fast
         rp._make_blend_vjp.cache_clear()
         fwd = jax.jit(
             lambda p, a: render(camera, p, a, settings, bg)["render"]
         )
         t = timeit(fwd, params, alive)
-        row[f"unroll{unroll}"] = {
+        row[name] = {
             "ms": round(t * 1e3, 2),
             "mpix_per_s": round(w * h / t / 1e6, 1),
             "vs_paper_30fps": round(w * h / t / 62.2e6, 3),
         }
     rp.FWD_UNROLL = 1
+    rp.FAST_DRAIN = True
     rp._make_blend_vjp.cache_clear()
     print(json.dumps(row), flush=True)
 
