@@ -48,13 +48,17 @@ def bench_cloud(tag, params, alive, camera, bg):
     w, h = int(camera.width), int(camera.height)
     row = {"scene": tag, "w": w, "h": h,
            "n_gauss": int(np.asarray(alive).sum()), "instances": int(peak)}
-    configs = [("unroll1", 1, True), ("unroll2", 2, True),
-               ("unroll4", 4, True),
+    configs = [("unroll1", 1, True, 1), ("unroll2", 2, True, 1),
+               ("unroll4", 4, True, 1),
+               # tile pairing (dead at garden scale, r4) may revive at
+               # many-small-tile scale where per-invocation overhead bites
+               ("unroll2_pair2", 2, True, 2),
                # attribution: the round-4 issue+wait-every-chunk drain
-               ("unroll1_slowdrain", 1, False)]
-    for name, unroll, fast in configs:
+               ("unroll1_slowdrain", 1, False, 1)]
+    for name, unroll, fast, pair in configs:
         rp.FWD_UNROLL = unroll
         rp.FAST_DRAIN = fast
+        rp.TILES_PER_STEP = pair
         rp._make_blend_vjp.cache_clear()
         fwd = jax.jit(
             lambda p, a: render(camera, p, a, settings, bg)["render"]
@@ -67,6 +71,7 @@ def bench_cloud(tag, params, alive, camera, bg):
         }
     rp.FWD_UNROLL = 1
     rp.FAST_DRAIN = True
+    rp.TILES_PER_STEP = 1
     rp._make_blend_vjp.cache_clear()
     print(json.dumps(row), flush=True)
 
