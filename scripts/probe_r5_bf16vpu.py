@@ -37,14 +37,20 @@ def make_kernel(dtype):
         x = x_ref[...]
         one = jnp.ones((), dtype)
         half = jnp.asarray(0.5, dtype)
-        eps = jnp.asarray(1e-4, dtype)
 
         def body(i, acc):
             x2 = acc * half + one          # fma-ish
             p = -(x2 * x2) * half          # quadratic
             g = jnp.exp(p)                 # transcendental (blend's exp)
             a = jnp.minimum(x2 * g, one)   # alpha clamp
-            keep = (p <= 0) & (a >= eps)   # gating compares
+            # gating compares run in f32 on every path: Mosaic rejects
+            # cmpf on PACKED bf16 vectors outright ("Target does not
+            # support this comparison", probed 2026-08-21), so a packed
+            # bf16 blend would have to upcast for its gates regardless —
+            # the probe now measures exactly that op mix.
+            pf = p.astype(jnp.float32)
+            af = a.astype(jnp.float32)
+            keep = (pf <= 0) & (af >= jnp.float32(1e-4))
             a = jnp.where(keep, a, jnp.zeros((), dtype))
             return acc + a * half
 
