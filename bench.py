@@ -172,16 +172,26 @@ def main():
             "vs_baseline": round(ro_garden / BASELINE_PIXELS_PER_S, 4),
         },
     }
-    for scene, src in (
-        ("output/full_eval_r3/chair", "/root/reference/nerf_synthetic/chair"),
-        ("output/full_eval_r3/ship", "/root/reference/nerf_synthetic/ship"),
-    ):
-        try:
-            r = measure_render_only_trained(scene, src)
-        except Exception:
-            r = None
-        if r is not None:
-            render_only[scene.rsplit("/", 1)[1] + "_30k_800px"] = r
+    # trained clouds are session artifacts; scan the rounds' output dirs
+    # newest-first and take the first checkpoint that exists per scene
+    trained_candidates = {
+        "chair": ["output/seeds_r5/chair_seed1", "output/seeds_r5/chair_seed2",
+                  "output/full_eval_r5/chair", "output/full_eval_r3/chair"],
+        "ship": ["output/full_eval_r5/ship", "output/full_eval_r3/ship"],
+        "lego": ["output/sparse_ab_r5/lego_dense",
+                 "output/sparse_ab_r5/lego_sparse"],
+        "mic": ["output/full_eval_r5/mic"],
+    }
+    for name, dirs in trained_candidates.items():
+        src = f"/root/reference/nerf_synthetic/{name}"
+        for scene in dirs:
+            try:
+                r = measure_render_only_trained(scene, src)
+            except Exception:
+                r = None
+            if r is not None:
+                render_only[name + "_30k_800px"] = r
+                break
     px = 1920 * 1080
     print(
         json.dumps(
