@@ -34,6 +34,43 @@ def wall_minutes(log_path):
     return round((total + last) / 60.0, 1)
 
 
+def tb_iter_time(model_dir):
+    """Wall-time stats from the tensorboard `iter_time` scalar (logged
+    every iteration; survives --quiet, which suppresses the stdout wall
+    prints the log parser reads). Returns total minutes + the median
+    steady-state (post-densify, iter>15k) iteration ms."""
+    import glob
+
+    evs = sorted(glob.glob(os.path.join(model_dir, "events.out.tfevents.*")))
+    if not evs:
+        return None
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+    except Exception:
+        return None
+    total_ms, late = 0.0, []
+    for ev in evs:
+        acc = EventAccumulator(ev, size_guidance={"scalars": 0})
+        acc.Reload()
+        if "iter_time" not in acc.Tags().get("scalars", []):
+            continue
+        for s in acc.Scalars("iter_time"):
+            total_ms += s.value
+            if s.step > 15000:
+                late.append(s.value)
+    if total_ms == 0.0:
+        return None
+    late.sort()
+    return {
+        "train_minutes_tb": round(total_ms / 60000.0, 1),
+        "steady_iter_ms_median": (
+            round(late[len(late) // 2], 1) if late else None
+        ),
+    }
+
+
 def read_results(model_dir):
     p = os.path.join(model_dir, "results.json")
     if not os.path.exists(p):
@@ -47,6 +84,9 @@ def collect(tag, model_dirs):
         row = {"results": read_results(d)}
         lg = os.path.join(d, "train_supervised.log")
         row["train_minutes"] = wall_minutes(lg)
+        tb = tb_iter_time(d)
+        if tb:
+            row.update(tb)
         out[name] = row
     dst = os.path.join(ART, tag)
     os.makedirs(dst, exist_ok=True)
@@ -72,6 +112,10 @@ def main():
     ])
     collect("colmap_proxy_r5", [
         ("model", "output/colmap_proxy_r5/model"),
+    ])
+    collect("full_eval_r5", [
+        ("mic", "output/full_eval_r5/mic"),
+        ("ship", "output/full_eval_r5/ship"),
     ])
 
 
