@@ -111,7 +111,12 @@ def main():
         ("lego_dense", "output/sparse_ab_r5/lego_dense"),
     ])
     collect("colmap_proxy_r5", [
+        # quality-grade run: GT is a gaussian render round-tripped through
+        # our COLMAP reader (inside the model class; >25 dB done-bar)
         ("model", "output/colmap_proxy_r5/model"),
+        # fixture-ceiling evidence: the disc-splat GT caps near 17 dB
+        # because fixed-size screen discs are not 3D-consistent imagery
+        ("model_discsplat", "output/colmap_proxy_r5/model_discsplat"),
     ])
     collect("full_eval_r5", [
         ("mic", "output/full_eval_r5/mic"),
