@@ -81,13 +81,23 @@ def main():
     from gsplat_tpu.data.scene import Scene
     from gsplat_tpu.io.snapshot import load_snapshot
 
-    for tag, model_dir, source in (
-        ("chair30k", "output/full_eval_r3/chair",
+    candidates = (
+        ("chair30k", ["output/seeds_r5/chair_seed1", "output/full_eval_r3/chair"],
          "/root/reference/nerf_synthetic/chair"),
-        ("ship30k", "output/full_eval_r3/ship",
+        ("ship30k", ["output/full_eval_r5/ship", "output/full_eval_r3/ship"],
          "/root/reference/nerf_synthetic/ship"),
-    ):
-        if not os.path.isdir(model_dir):
+        ("lego30k", ["output/sparse_ab_r5/lego_dense"],
+         "/root/reference/nerf_synthetic/lego"),
+        ("mic30k", ["output/full_eval_r5/mic"],
+         "/root/reference/nerf_synthetic/mic"),
+    )
+    for tag, dirs, source in candidates:
+        model_dir = next(
+            (d for d in dirs
+             if os.path.isdir(os.path.join(d, "point_cloud", "iteration_30000"))),
+            None,
+        )
+        if model_dir is None:
             print(json.dumps({"scene": tag, "skipped": "no checkpoint"}))
             continue
         params, alive, _, _ = load_snapshot(model_dir, 30000)
