@@ -35,10 +35,15 @@ def wall_minutes(log_path):
 
 
 def tb_iter_time(model_dir):
-    """Wall-time stats from the tensorboard `iter_time` scalar (logged
-    every iteration; survives --quiet, which suppresses the stdout wall
-    prints the log parser reads). Returns total minutes + the median
-    steady-state (post-densify, iter>15k) iteration ms."""
+    """Wall-time stats from the tensorboard `iter_time` scalar.
+
+    iter_time is logged every `log_every` (default 10) iterations, and
+    the logging iteration float()s device metrics — draining JAX's async
+    dispatch queue — so each sample absorbs ~log_every iterations of
+    device time. The SUM therefore approximates device-side training
+    wall time (compiles/evals/saves excluded), and the "steady" median
+    is per log TICK (~10 iterations), not per iteration. Both are used
+    comparatively (A/B under identical cadence), not as absolutes."""
     import glob
 
     evs = sorted(glob.glob(os.path.join(model_dir, "events.out.tfevents.*")))
