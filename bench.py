@@ -143,11 +143,27 @@ def measure_render_only_trained(model_dir: str, source: str,
     )
     img = fwd(params, alive)
     jax.block_until_ready(img)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+
+    def timed():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params, alive)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    # The tunneled axon transport occasionally drops into a "fake fast"
+    # mode where dispatches return without executing (observed 2026-08-21:
+    # a trained-cloud frame reported 0.04 ms ≈ 16 Gpix/s). No real frame
+    # on this chip is under ~2 ms; retry once, then flag rather than
+    # report an impossible number.
+    dt = timed()
+    if dt * 1e3 < 2.0:
         img = fwd(params, alive)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(img)
+        dt = timed()
+    if dt * 1e3 < 2.0:
+        return {"invalid": "transport_glitch_fake_fast",
+                "ms": round(dt * 1e3, 3)}
     width, height = int(cam.width), int(cam.height)
     return {
         "pixels_per_s": round(width * height / dt, 1),
