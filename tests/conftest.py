@@ -53,6 +53,7 @@ _SLOW_TESTS = {
     "test_pipeline_band_overflow_surfaces",
     "test_train_loop_end_to_end",
     "test_colmap_train_render_end_to_end",
+    "test_gaussian_gt_fixture_roundtrip",
     "test_render_and_metrics_cli",
     "test_cfg_args_roundtrip",  # shares the trained-model session fixture
     "test_bf16_packets_close_to_f32",

@@ -132,3 +132,62 @@ def test_model_writer_roundtrip(colmap_scene, tmp_path):
         np.testing.assert_allclose(rc_pts[0], pts[0])
         np.testing.assert_array_equal(rc_pts[1], pts[1])
         np.testing.assert_allclose(rc_pts[2], pts[2])
+
+
+def test_gaussian_gt_fixture_roundtrip(tmp_path):
+    """The round-5 quality fixture (make_colmap_gaussian_scene) must be
+    self-consistent: its GT PNGs are rendered from a known gaussian cloud
+    through OUR reader's cameras, so re-loading the scene and re-rendering
+    that cloud from a loaded camera must reproduce the saved PNG to within
+    8-bit quantization. Guards the 39.56-PSNR COLMAP quality run's premise
+    (reference chain: scene/dataset_readers.py:145-226)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from scripts.make_fixtures import make_colmap_gaussian_scene
+    from gsplat_tpu.core.types import GaussianParams, make_render_settings
+    from gsplat_tpu.data.scene import Scene
+    from gsplat_tpu.render import render
+
+    d = str(tmp_path / "scene")
+    make_colmap_gaussian_scene(d, n_gauss=256, n_points=128, n_images=4,
+                               width=96, height=64, focal=90.0, seed=7)
+
+    scene = Scene(d, model_path=None, images="images", depths="",
+                  resolution=-1, white_background=False, eval=False,
+                  train_test_exp=False, shuffle=False)
+    cams = scene.get_train_cameras()
+    assert len(cams) == 4
+
+    # regenerate the same cloud (same seed) the fixture rendered
+    n = 256
+    g = np.random.default_rng(7)
+    xyz = g.normal(0, 0.45, (n, 3))
+    log_scaling = np.log(g.uniform(0.015, 0.09, (n, 3)))
+    rotation = g.normal(size=(n, 4))
+    rotation /= np.linalg.norm(rotation, axis=1, keepdims=True)
+    logit_opacity = g.uniform(0.5, 3.0, (n, 1))
+    color = np.clip(xyz * 0.5 + 0.5 + g.normal(0, 0.08, (n, 3)), 0, 1)
+    from gsplat_tpu.core.sh import rgb_to_sh
+
+    params = GaussianParams(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        features_dc=jnp.asarray(rgb_to_sh(color)[:, None, :], jnp.float32),
+        features_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        scaling=jnp.asarray(log_scaling, jnp.float32),
+        rotation=jnp.asarray(rotation, jnp.float32),
+        opacity=jnp.asarray(logit_opacity, jnp.float32),
+    )
+    alive = jnp.ones(n, bool)
+    settings = make_render_settings(sh_degree=3, backend="jnp")
+    holder = cams[0]
+    img = np.asarray(
+        render(holder.camera, params, alive, settings, jnp.zeros(3))["render"]
+    )
+    saved = np.asarray(
+        Image.open(os.path.join(d, "images", "r_000.png")), dtype=np.float32
+    ) / 255.0
+    # loaded GT is also exposed on the holder; all three must agree
+    assert np.abs(np.clip(img, 0, 1) - saved).max() <= (1.5 / 255.0)
+    assert np.abs(holder.image - saved).max() <= (1.0 / 255.0)
